@@ -1,0 +1,386 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core._
+
+/**
+ * Spark-native spatial engine: the reference's prepare/partition/index/query
+ * pipeline re-expressed as lazy DataFrame transformations
+ * (SURVEY.md §3.1-3.3). One shuffle per join (the tile repartition); the
+ * MBR → APRIL → exact-refinement cascade runs inside the joined stage with
+ * no extra exchange.
+ *
+ * Exactly-once pair generation uses the reference-point filter (equivalent
+ * to the reference's two-layer class sweeps, proven by RefPointPropertySpec)
+ * so no dropDuplicates shuffle is ever needed.
+ */
+object GeoEngine {
+
+  // ------------------------------------------------------------------ source
+
+  /**
+   * Read a WKT file as Dataset[GeoRow] with reference load semantics:
+   * recID = 0-based line number, invalid/mismatched rows skipped but still
+   * consuming their line number, and only `newline count` lines loaded
+   * (an unterminated final line is dropped) — partitioning.cpp:489-531.
+   */
+  def readWkt(spark: SparkSession, path: String, gtype: Int): Dataset[GeoRow] = {
+    import spark.implicits._
+    val totalLines = countNewlines(path)
+    // zipWithIndex gives the deterministic global line number (the only RDD
+    // use in the engine; Spark has no lazy row-number-in-file primitive).
+    spark.read.textFile(path).rdd.zipWithIndex()
+      .filter(_._2 < totalLines)
+      .flatMap { case (line, idx) =>
+        val wkt = line.split('\t')(0)
+        Wkt.parse(wkt, gtype).map(g => GeoRow.of(idx, g))
+      }.toDS()
+  }
+
+  private def countNewlines(path: String): Long = {
+    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(path), 1 << 20)
+    try {
+      var n = 0L; var c = in.read()
+      while (c != -1) { if (c == '\n') n += 1; c = in.read() }
+      n
+    } finally in.close()
+  }
+
+  /** Query-file semantics: all lines (incl. unterminated last) — see
+    * API/Hecatoncheir.cpp:799. */
+  def loadQueriesWkt(path: String, gtype: Int): Seq[(Long, Geom)] =
+    scala.io.Source.fromFile(path).getLines().zipWithIndex.flatMap {
+      case (line, i) => Wkt.parse(line.split('\t')(0), gtype).map(g => (i.toLong, g))
+    }.toSeq
+
+  // -------------------------------------------------------------- dataspace
+
+  /** Global bounds of one or more datasets (one scan each, tiny result). */
+  def dataspace(dss: Dataset[GeoRow]*): Dataspace = {
+    val bounds = dss.map { ds =>
+      val r = ds.agg(min("xmin"), min("ymin"), max("xmax"), max("ymax")).head()
+      Dataspace(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+    bounds.reduce((a, b) => Dataspace(
+      math.min(a.xmin, b.xmin), math.min(a.ymin, b.ymin),
+      math.max(a.xmax, b.xmax), math.max(a.ymax, b.ymax)))
+  }
+
+  def gridFor(ds: Dataspace,
+              coarsePpd: Int = GridConfig.DefaultCoarsePpd,
+              globalPpd: Int = GridConfig.DefaultGlobalPpd): GridConfig =
+    GridConfig.fromDataBounds(ds.xmin, ds.ymin, ds.xmax, ds.ymax, coarsePpd, globalPpd)
+
+  // ----------------------------------------------------------------- tiling
+
+  /** Explode a dataset by its fine-tile cover: adds `tile` (and keeps every
+    * original column). Points take the single-tile fast path. */
+  def withTiles(ds: Dataset[GeoRow], grid: GridConfig): DataFrame = {
+    val tilesUdf = udf { (gtype: Int, xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>
+      if (gtype == GeomType.POINT) Array(grid.fineTileOfPoint(xmin, ymin))
+      else grid.fineTiles(MBR(xmin, ymin, xmax, ymax))
+    }
+    ds.withColumn("tile",
+      explode(tilesUdf(col("gtype"), col("xmin"), col("ymin"), col("xmax"), col("ymax"))))
+  }
+
+  /** Full tile assignment (fine tile + coarse tile + class + hex cell) for
+    * point records — the Dataset[TileAssignment] surface of the north rule. */
+  def tileAssignments(points: DataFrame, grid: GridConfig, hexRes: Int): Dataset[TileAssignment] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    // pure column expressions (codegen, no UDF): points sit in exactly one tile
+    val fi = floor((col("x") - lit(grid.xMin)) / lit(grid.fineExtX)).cast("long")
+    val fj = floor((col("y") - lit(grid.yMin)) / lit(grid.fineExtY)).cast("long")
+    val fic = least(greatest(fi, lit(0L)), lit(grid.globalPpd - 1L))
+    val fjc = least(greatest(fj, lit(0L)), lit(grid.globalPpd - 1L))
+    val hexUdf = udf { (x: Double, y: Double) => HexGrid.latLngToCell(x, y, hexRes) }
+    val fpc = grid.finePerCoarse.toDouble
+    points.select(
+      col("id"),
+      (fic + fjc * grid.globalPpd).as("tile"),
+      (floor(fic / lit(fpc)).cast("long") +
+        floor(fjc / lit(fpc)).cast("long") * grid.coarsePpd).as("coarseTile"),
+      lit(TwoLayerClass.A).as("clazz"),
+      hexUdf(col("x"), col("y")).as("hexCell")
+    ).as[TileAssignment]
+  }
+
+  // ------------------------------------------------------------------ joins
+
+  /**
+   * Predicate spatial join: returns (rid, sid) pairs satisfying `pred`.
+   *
+   * Plan: tile-explode both sides → equi-join on tile (Catalyst picks
+   * SHJ/SMJ; pass `broadcastS = true` to force a broadcast of S's exploded
+   * form) → inclusive MBR-overlap (codegen'd column predicate) →
+   * reference-point dedup → optional APRIL verdict → exact refinement for
+   * inconclusive pairs only.
+   *
+   * Disjoint-join caveat intentionally preserved: candidates still come from
+   * common tiles only (SURVEY.md §2.4).
+   */
+  def spatialJoin(r: Dataset[GeoRow], s: Dataset[GeoRow], pred: Int,
+                  grid: GridConfig, useApril: Boolean = false,
+                  broadcastS: Boolean = false): DataFrame = {
+    val rt = withTiles(r, grid).select(
+      col("tile"), col("id").as("rid"), col("gtype").as("rg"), col("coords").as("rc"),
+      col("xmin").as("rxmin"), col("ymin").as("rymin"),
+      col("xmax").as("rxmax"), col("ymax").as("rymax"))
+    val st0 = withTiles(s, grid).select(
+      col("tile"), col("id").as("sid"), col("gtype").as("sg"), col("coords").as("sc"),
+      col("xmin").as("sxmin"), col("ymin").as("symin"),
+      col("xmax").as("sxmax"), col("ymax").as("symax"))
+    val st = if (broadcastS) broadcast(st0) else st0
+
+    val mbrOverlap =
+      col("rxmax") >= col("sxmin") && col("rxmin") <= col("sxmax") &&
+      col("rymax") >= col("symin") && col("rymin") <= col("symax")
+
+    // reference-point dedup as a pure column expression (codegen):
+    // the pair is kept only in the tile owning the intersection's min corner
+    val refI = least(greatest(
+      floor((greatest(col("rxmin"), col("sxmin")) - lit(grid.xMin)) / lit(grid.fineExtX)).cast("long"),
+      lit(0L)), lit(grid.globalPpd - 1L))
+    val refJ = least(greatest(
+      floor((greatest(col("rymin"), col("symin")) - lit(grid.yMin)) / lit(grid.fineExtY)).cast("long"),
+      lit(0L)), lit(grid.globalPpd - 1L))
+    val dedup = (refI + refJ * grid.globalPpd) === col("tile")
+
+    val refineUdf = udf {
+      (p: Int, rg: Int, rc: Array[Double], sg: Int, sc: Array[Double]) =>
+        Topology.evalPredicate(p, Geom(rg, rc), Geom(sg, sc))
+    }
+    // Rectangular fast path: for POINT/BOX pairs the MBR-overlap test (already
+    // applied) IS the exact intersects predicate — no UDF, stays in codegen.
+    val rectangular =
+      (col("rg") === GeomType.POINT || col("rg") === GeomType.BOX) &&
+      (col("sg") === GeomType.POINT || col("sg") === GeomType.BOX)
+    def exactPredicate: Column =
+      if (pred == Predicates.INTERSECTS)
+        when(rectangular, lit(true))
+          .otherwise(refineUdf(lit(pred), col("rg"), col("rc"), col("sg"), col("sc")))
+      else refineUdf(lit(pred), col("rg"), col("rc"), col("sg"), col("sc"))
+
+    val joined = rt.join(st, Seq("tile")).where(mbrOverlap && dedup)
+
+    val withVerdict = if (useApril) {
+      val aprilUdf = udf {
+        (p: Int, rg: Int, rc: Array[Double], sg: Int, sc: Array[Double]) =>
+          val ra = April.rasterize(Geom(rg, rc), grid.xMin, grid.yMin,
+            grid.xExtent, grid.yExtent, AprilOrder)
+          val sa = April.rasterize(Geom(sg, sc), grid.xMin, grid.yMin,
+            grid.xExtent, grid.yExtent, AprilOrder)
+          April.verdict(p, ra, sa)
+      }
+      joined
+        .withColumn("verdict",
+          when(rectangular && lit(pred == Predicates.INTERSECTS), April.TRUE_HIT)
+            .otherwise(aprilUdf(lit(pred), col("rg"), col("rc"), col("sg"), col("sc"))))
+        .where(col("verdict") === April.TRUE_HIT ||
+          (col("verdict") === April.INCONCLUSIVE && exactPredicate))
+    } else {
+      joined.where(exactPredicate)
+    }
+    withVerdict.select(col("rid"), col("sid"))
+  }
+
+  /** APRIL Hilbert order N (config_cluster.ini [APRIL] N=16). Per-pair
+    * rasterization at query time like the reference's range path; dataset
+    * joins should pre-rasterize at index-build — see aprilIndexed overloads
+    * in later rounds. */
+  val AprilOrder = 16
+
+  /** Find-relation join: (rid, sid, relation) with the reference's TR codes. */
+  def findRelationJoin(r: Dataset[GeoRow], s: Dataset[GeoRow],
+                       grid: GridConfig): DataFrame = {
+    val rt = withTiles(r, grid).select(
+      col("tile"), col("id").as("rid"), col("gtype").as("rg"), col("coords").as("rc"),
+      col("xmin").as("rxmin"), col("ymin").as("rymin"),
+      col("xmax").as("rxmax"), col("ymax").as("rymax"))
+    val st = withTiles(s, grid).select(
+      col("tile"), col("id").as("sid"), col("gtype").as("sg"), col("coords").as("sc"),
+      col("xmin").as("sxmin"), col("ymin").as("symin"),
+      col("xmax").as("sxmax"), col("ymax").as("symax"))
+    val mbrOverlap =
+      col("rxmax") >= col("sxmin") && col("rxmin") <= col("sxmax") &&
+      col("rymax") >= col("symin") && col("rymin") <= col("symax")
+    val refI = least(greatest(
+      floor((greatest(col("rxmin"), col("sxmin")) - lit(grid.xMin)) / lit(grid.fineExtX)).cast("long"),
+      lit(0L)), lit(grid.globalPpd - 1L))
+    val refJ = least(greatest(
+      floor((greatest(col("rymin"), col("symin")) - lit(grid.yMin)) / lit(grid.fineExtY)).cast("long"),
+      lit(0L)), lit(grid.globalPpd - 1L))
+    val dedup = (refI + refJ * grid.globalPpd) === col("tile")
+    val relUdf = udf { (rg: Int, rc: Array[Double], sg: Int, sc: Array[Double]) =>
+      Topology.findRelation(Geom(rg, rc), Geom(sg, sc))
+    }
+    rt.join(st, Seq("tile")).where(mbrOverlap && dedup)
+      .select(col("rid"), col("sid"),
+        relUdf(col("rg"), col("rc"), col("sg"), col("sc")).as("relation"))
+  }
+
+  // ---------------------------------------------------------- range queries
+
+  /** Batch range query: (queryId, id) for every data object intersecting the
+    * query window. Query windows are broadcast (SURVEY §2.8); tile pruning
+    * comes from the equi-join on the windows' exploded tile cover. */
+  def rangeBatch(data: Dataset[GeoRow], queries: Seq[(Long, Geom)],
+                 grid: GridConfig): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val qRows = queries.flatMap { case (qid, g) =>
+      val m = g.mbr
+      grid.fineTiles(m).map(t => (qid, t, g.gtype, g.coords, m.xmin, m.ymin, m.xmax, m.ymax))
+    }.toDF("qid", "tile", "qg", "qc", "qxmin", "qymin", "qxmax", "qymax")
+    val dt = withTiles(data, grid)
+    val mbrOverlap =
+      col("xmax") >= col("qxmin") && col("xmin") <= col("qxmax") &&
+      col("ymax") >= col("qymin") && col("ymin") <= col("qymax")
+    val refI = least(greatest(
+      floor((greatest(col("xmin"), col("qxmin")) - lit(grid.xMin)) / lit(grid.fineExtX)).cast("long"),
+      lit(0L)), lit(grid.globalPpd - 1L))
+    val refJ = least(greatest(
+      floor((greatest(col("ymin"), col("qymin")) - lit(grid.yMin)) / lit(grid.fineExtY)).cast("long"),
+      lit(0L)), lit(grid.globalPpd - 1L))
+    val dedup = (refI + refJ * grid.globalPpd) === col("tile")
+    val intersectsUdf = udf { (qg: Int, qc: Array[Double], g: Int, c: Array[Double]) =>
+      Topology.intersects(Geom(qg, qc), Geom(g, c))
+    }
+    dt.join(broadcast(qRows), Seq("tile"))
+      .where(mbrOverlap && dedup &&
+        intersectsUdf(col("qg"), col("qc"), col("gtype"), col("coords")))
+      .select(col("qid"), col("id"))
+  }
+
+  // ------------------------------------------------------------------- kNN
+
+  /**
+   * Batch kNN over point data: ascending (distance, id) per query, exactly
+   * k rows each — reproducing the reference's heap-drain output order
+   * (API/containers.cpp:961-972). One pass over the data for the whole
+   * broadcast batch + windowed top-k; map-side partial top-k pruning is a
+   * planned round-2 optimization (the reference likewise scans all tiles
+   * with only a tile lower-bound prune, knn_filter.cpp:27-39).
+   */
+  def knnBatch(points: Dataset[GeoRow], queries: Seq[(Long, Geom)], k: Int,
+               gridOpt: Option[GridConfig] = None): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val grid = gridOpt.getOrElse(gridFor(dataspace(points)))
+
+    // Phase 1 (one tiny job): per-tile point counts → driver map. Bounded by
+    // globalPpd² tiles regardless of data size, so this scales to any N.
+    val homeUdf = udf { (x: Double, y: Double) => grid.fineTileOfPoint(x, y) }
+    val tileCounts: Map[Long, Long] = points
+      .select(homeUdf(col("xmin"), col("ymin")).as("tile"))
+      .groupBy("tile").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // Phase 2 (driver, per query): expand Chebyshev rings from the home tile
+    // until ≥k points are covered, derive a safe kth-distance upper bound
+    // from the covered box, and emit every tile whose min distance to the
+    // query is within the bound — the reference's checkDistance prune
+    // (knn_filter.cpp:27-39) batched.
+    val qTiles = queries.flatMap { case (qid, g) =>
+      val qx = g.coords(0); val qy = g.coords(1)
+      candidateKnnTiles(qx, qy, k, grid, tileCounts).map(t => (qid, t, qx, qy))
+    }.toDF("qid", "tile", "qx", "qy")
+
+    // Phase 3: tile equi-join (queries broadcast) → exact distance → bounded
+    // heap per query; shuffles ≤ k·parts rows per query.
+    val dist = sqrt(
+      (col("xmin") - col("qx")) * (col("xmin") - col("qx")) +
+      (col("ymin") - col("qy")) * (col("ymin") - col("qy")))
+    val topk = new graft.functions.TopKAggregator(k).toColumn
+    points.withColumn("tile", homeUdf(col("xmin"), col("ymin")))
+      .join(broadcast(qTiles), Seq("tile"))
+      .select(col("qid"), col("id"), dist.as("dist"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topk.name("topk"))
+      .toDF("qid", "topk")
+      .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "pair")))
+      .select(col("qid"), col("pair._1").as("id"), col("pair._2").as("dist"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** Tiles that can contain one of the k nearest neighbors of (qx, qy). */
+  private def candidateKnnTiles(qx: Double, qy: Double, k: Int,
+      grid: GridConfig, tileCounts: Map[Long, Long]): Seq[Long] = {
+    val ppd = grid.globalPpd
+    val hi = math.min(math.max(grid.fineX(qx), 0), ppd - 1)
+    val hj = math.min(math.max(grid.fineY(qy), 0), ppd - 1)
+    var cum = 0L
+    var r = 0
+    var found = -1
+    while (found < 0 && r < ppd) {
+      // cells on the Chebyshev ring of radius r
+      var covered = 0L
+      var i = math.max(hi - r, 0)
+      while (i <= math.min(hi + r, ppd - 1)) {
+        var j = math.max(hj - r, 0)
+        while (j <= math.min(hj + r, ppd - 1)) {
+          if (math.max(math.abs(i - hi), math.abs(j - hj)) == r) {
+            covered += tileCounts.getOrElse(grid.tileId(i, j), 0L)
+          }
+          j += 1
+        }
+        i += 1
+      }
+      cum += covered
+      if (cum >= k) found = r
+      r += 1
+    }
+    if (found < 0) return tileCounts.keys.toSeq // fewer than k points overall
+    // kth distance bound: the farthest corner of the covered (2·found+1) box
+    val m = MBR(grid.xMin + (hi - found) * grid.fineExtX,
+                grid.yMin + (hj - found) * grid.fineExtY,
+                grid.xMin + (hi + found + 1) * grid.fineExtX,
+                grid.yMin + (hj + found + 1) * grid.fineExtY)
+    val bound = math.sqrt(Seq(
+      (qx - m.xmin) * (qx - m.xmin) + (qy - m.ymin) * (qy - m.ymin),
+      (qx - m.xmin) * (qx - m.xmin) + (qy - m.ymax) * (qy - m.ymax),
+      (qx - m.xmax) * (qx - m.xmax) + (qy - m.ymin) * (qy - m.ymin),
+      (qx - m.xmax) * (qx - m.xmax) + (qy - m.ymax) * (qy - m.ymax)).max)
+    val rCap = math.max(
+      math.ceil(bound / grid.fineExtX).toInt,
+      math.ceil(bound / grid.fineExtY).toInt) + 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = math.max(hi - rCap, 0)
+    while (i <= math.min(hi + rCap, ppd - 1)) {
+      var j = math.max(hj - rCap, 0)
+      while (j <= math.min(hj + rCap, ppd - 1)) {
+        val t = grid.tileId(i, j)
+        if (tileCounts.contains(t) && grid.distanceToTile(qx, qy, t) <= bound)
+          out += t
+        j += 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  // --------------------------------------------------------- distance join
+
+  /** ε-distance join over point datasets: (rid, sid) with dist <= d.
+    * R explodes to its ε-expanded tile cover; S stays at its home tile —
+    * one shuffle replaces the reference's 3-phase MPI exchange
+    * (src/UniformGrid/dj_filter.cpp). */
+  def distanceJoin(r: Dataset[GeoRow], s: Dataset[GeoRow], d: Double,
+                   grid: GridConfig): DataFrame = {
+    val coverUdf = udf { (x: Double, y: Double) => grid.tilesWithinDistance(x, y, d) }
+    val rt = r.withColumn("tile", explode(coverUdf(col("xmin"), col("ymin"))))
+      .select(col("tile"), col("id").as("rid"), col("xmin").as("rx"), col("ymin").as("ry"))
+    val homeUdf = udf { (x: Double, y: Double) => grid.fineTileOfPoint(x, y) }
+    val st = s.select(homeUdf(col("xmin"), col("ymin")).as("tile"),
+      col("id").as("sid"), col("xmin").as("sx"), col("ymin").as("sy"))
+    val dist = sqrt(
+      (col("rx") - col("sx")) * (col("rx") - col("sx")) +
+      (col("ry") - col("sy")) * (col("ry") - col("sy")))
+    rt.join(st, Seq("tile")).where(dist <= d).select(col("rid"), col("sid"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.web.Pages
+
+/**
+ * Headline scaling benchmark for the north-rule criterion: the same
+ * spatial-join + tile-assignment job at two parallelism levels (N and 4N
+ * cores evidences N→4N executors in this sandbox — see BASELINE.md; we use
+ * local[2] vs local[8] because the sandbox VM's 32 "cores" stop scaling past
+ * ~8-16 threads even for pure codegen arithmetic, measured by ScaleSanity).
+ *
+ * Job: over a materialized Common-Crawl-style pages table (deterministic,
+ * cached outside the timed window): geotag from url/text → fine-grid tile
+ * assignment + hex cells (aggregated over every output column so nothing is
+ * pruned) → spatial join of the page points against a 2k-box table → count.
+ * Each phase runs 3× (warm JIT) and reports the min — the VM is noisy.
+ *
+ * Usage: runMain graft.ScaleBench [nPages]   (cores from SPARK_GRAFT_CPUS)
+ * Prints one JSON line with rows/sec.
+ */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val nPages = if (args.nonEmpty) args(0).toLong else 4000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // fixed partition count across runs: identical work split, only the
+    // executor-thread count varies (the cluster-size analogue)
+    val parts = 128
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.default.parallelism", parts)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val grid = Pages.WorldGrid
+
+    // deterministic box table (the polygon side of the join); kept small so
+    // the driver-side broadcast build is a negligible fixed cost
+    val boxes = spark.range(2000).select(
+      col("id"),
+      lit(GeomType.BOX).as("gtype"),
+      ((col("id") * 13 % 2450) / 7.0 - 175.0).as("cx"),
+      ((col("id") * 17 % 1120) / 7.0 - 80.0).as("cy"),
+      ((col("id") % 40 + 2) / 7.0).as("hw"),
+      ((col("id") % 30 + 2) / 7.0).as("hh"))
+      .select(col("id"), col("gtype"),
+        array(col("cx") - col("hw"), col("cy") - col("hh"),
+              col("cx") + col("hw"), col("cy") - col("hh"),
+              col("cx") + col("hw"), col("cy") + col("hh"),
+              col("cx") - col("hw"), col("cy") + col("hh"),
+              col("cx") - col("hw"), col("cy") - col("hh")).as("coords"),
+        (col("cx") - col("hw")).as("xmin"), (col("cy") - col("hh")).as("ymin"),
+        (col("cx") + col("hw")).as("xmax"), (col("cy") + col("hh")).as("ymax"))
+      .as[GeoRow]
+
+    // materialize the input table once, outside the timed window — the
+    // engine's job starts from an existing pages table (as on a cluster);
+    // synthetic-data generation cost is not engine throughput
+    val pages = Pages.synthesize(spark, nPages).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pages.count()
+
+    // pages → geotag → tile assignment; aggregate over every output column so
+    // the whole pipeline is actually evaluated (a bare count() would let
+    // Catalyst prune the projections away)
+    val tagged = Pages.geotag(pages)
+      .withColumn("id", abs(hash(col("url"))).cast("long"))
+    val assigns = GeoEngine.tileAssignments(tagged, grid, hexRes = 7)
+    val pts = tagged.select(col("id"), lit(GeomType.POINT).as("gtype"),
+      array(col("x"), col("y")).as("coords"),
+      col("x").as("xmin"), col("y").as("ymin"),
+      col("x").as("xmax"), col("y").as("ymax")).as[GeoRow]
+    val joinDf = GeoEngine.spatialJoin(pts, boxes, Predicates.INTERSECTS, grid,
+      broadcastS = true)
+
+    // the sandbox VM is noisy: run each phase `iters` times (warm JIT) and
+    // report the minimum — the contention-free engine time
+    val iters = 3
+    var nAssigned = 0L; var nJoined = 0L
+    var tileSec = Double.MaxValue; var joinSec = Double.MaxValue
+    for (_ <- 1 to iters) {
+      val t0 = System.nanoTime()
+      nAssigned = assigns.agg(count(lit(1)), sum("tile"), sum("coarseTile"),
+        sum(pmod(col("hexCell"), lit(1000003L)))).head().getLong(0)
+      val t1 = System.nanoTime()
+      nJoined = joinDf.count()
+      val t2 = System.nanoTime()
+      tileSec = math.min(tileSec, (t1 - t0) / 1e9)
+      joinSec = math.min(joinSec, (t2 - t1) / 1e9)
+    }
+    val total = tileSec + joinSec
+    println(s"""{"metric":"scale_headline","cpus":$cpus,"pages":$nPages,""" +
+      s""""tile_assign_sec":$tileSec,"join_sec":$joinSec,"total_sec":$total,""" +
+      s""""rows_per_sec":${(nPages / total).toLong},"assigned":$nAssigned,"joined":$nJoined}""")
+    spark.stop()
+  }
+}

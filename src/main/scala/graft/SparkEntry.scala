@@ -1,13 +1,308 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{SparkSession, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.ops.{TextOps, Ann, Multimodal}
+import graft.web.Pages
+
+/**
+ * Driver contract: one `queries` entry per implemented operator
+ * (SURVEY.md §2), with a DuckDB-equivalent `oracleSql` for every
+ * SQL-expressible one.
+ *
+ * Spatial inputs are derived deterministically from the TPC-H-ish testdata
+ * tables with formulas kept bit-identical between the Spark engine path and
+ * the oracle SQL (same op order ⇒ same IEEE doubles). Points live on a 1/10°
+ * lattice and box edges on a 1/7° lattice so the only possible
+ * boundary-coincidences are exact integer coordinates — where both engines
+ * agree inclusively — keeping the engine's 1e-9 geometric tolerance
+ * invisible to the oracle compare.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val grid = Pages.WorldGrid // fixed world grid: no dataspace scan
+
+  // ---- deterministic geometry derivations (Spark side) --------------------
+
+  private def orderPoints(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet").select(
+      col("o_orderkey").as("id"),
+      ((col("o_orderkey") * 7 % 3600) / 10.0 - 180.0).as("x"),
+      ((col("o_orderkey") * 11 % 1700) / 10.0 - 85.0).as("y"))
+
+  private val orderPointsSql =
+    """SELECT o_orderkey AS id,
+      |  (o_orderkey * 7 % 3600) / 10.0 - 180.0 AS x,
+      |  (o_orderkey * 11 % 1700) / 10.0 - 85.0 AS y
+      |FROM orders""".stripMargin
+
+  private def supplierPoints(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/supplier.parquet").select(
+      col("s_suppkey").as("id"),
+      ((col("s_suppkey") * 19 % 3600) / 10.0 - 180.0).as("x"),
+      ((col("s_suppkey") * 23 % 1700) / 10.0 - 85.0).as("y"))
+
+  private val supplierPointsSql =
+    """SELECT s_suppkey AS id,
+      |  (s_suppkey * 19 % 3600) / 10.0 - 180.0 AS x,
+      |  (s_suppkey * 23 % 1700) / 10.0 - 85.0 AS y
+      |FROM supplier""".stripMargin
+
+  private def partBoxes(s: SparkSession, dir: String): DataFrame = {
+    val cx = (col("p_partkey") * 13 % 2450) / 7.0 - 175.0
+    val cy = (col("p_partkey") * 17 % 1120) / 7.0 - 80.0
+    val hw = (col("p_partkey") % 40 + 2) / 7.0
+    val hh = (col("p_partkey") % 30 + 2) / 7.0
+    s.read.parquet(s"$dir/part.parquet").select(
+      col("p_partkey").as("id"),
+      (cx - hw).as("bxmin"), (cy - hh).as("bymin"),
+      (cx + hw).as("bxmax"), (cy + hh).as("bymax"))
+  }
+
+  private val partBoxesSql =
+    """SELECT p_partkey AS id,
+      |  ((p_partkey * 13 % 2450) / 7.0 - 175.0) - ((p_partkey % 40 + 2) / 7.0) AS bxmin,
+      |  ((p_partkey * 17 % 1120) / 7.0 - 80.0)  - ((p_partkey % 30 + 2) / 7.0) AS bymin,
+      |  ((p_partkey * 13 % 2450) / 7.0 - 175.0) + ((p_partkey % 40 + 2) / 7.0) AS bxmax,
+      |  ((p_partkey * 17 % 1120) / 7.0 - 80.0)  + ((p_partkey % 30 + 2) / 7.0) AS bymax
+      |FROM part""".stripMargin
+
+  private def nationWindows(s: SparkSession, dir: String): DataFrame = {
+    val cx = (col("n_nationkey") * 29 % 2450) / 7.0 - 175.0
+    val cy = (col("n_nationkey") * 31 % 1120) / 7.0 - 80.0
+    val hw = (col("n_nationkey") % 6 + 15) / 7.0
+    val hh = (col("n_nationkey") % 4 + 12) / 7.0
+    s.read.parquet(s"$dir/nation.parquet").select(
+      col("n_nationkey").cast("long").as("qid"),
+      (cx - hw).as("wxmin"), (cy - hh).as("wymin"),
+      (cx + hw).as("wxmax"), (cy + hh).as("wymax"))
+  }
+
+  private val nationWindowsSql =
+    """SELECT CAST(n_nationkey AS BIGINT) AS qid,
+      |  ((n_nationkey * 29 % 2450) / 7.0 - 175.0) - ((n_nationkey % 6 + 15) / 7.0) AS wxmin,
+      |  ((n_nationkey * 31 % 1120) / 7.0 - 80.0)  - ((n_nationkey % 4 + 12) / 7.0) AS wymin,
+      |  ((n_nationkey * 29 % 2450) / 7.0 - 175.0) + ((n_nationkey % 6 + 15) / 7.0) AS wxmax,
+      |  ((n_nationkey * 31 % 1120) / 7.0 - 80.0)  + ((n_nationkey % 4 + 12) / 7.0) AS wymax
+      |FROM nation""".stripMargin
+
+  private def docPoints(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id").as("id"),
+      ((col("doc_id") * 37 % 3600) / 10.0 - 180.0).as("x"),
+      ((col("doc_id") * 53 % 1700) / 10.0 - 85.0).as("y"))
+
+  // ---- GeoRow constructors ------------------------------------------------
+
+  private def pointsGeo(df: DataFrame)(implicit s: SparkSession): Dataset[GeoRow] = {
+    import s.implicits._
+    df.select(col("id"), lit(GeomType.POINT).as("gtype"),
+      array(col("x"), col("y")).as("coords"),
+      col("x").as("xmin"), col("y").as("ymin"),
+      col("x").as("xmax"), col("y").as("ymax")).as[GeoRow]
+  }
+
+  private def boxesGeo(df: DataFrame)(implicit s: SparkSession): Dataset[GeoRow] = {
+    import s.implicits._
+    df.select(col("id"), lit(GeomType.BOX).as("gtype"),
+      array(col("bxmin"), col("bymin"), col("bxmax"), col("bymin"),
+            col("bxmax"), col("bymax"), col("bxmin"), col("bymax"),
+            col("bxmin"), col("bymin")).as("coords"),
+      col("bxmin").as("xmin"), col("bymin").as("ymin"),
+      col("bxmax").as("xmax"), col("bymax").as("ymax")).as[GeoRow]
+  }
+
+  // ---- flagship -----------------------------------------------------------
+
+  /** Flagship: spatial point-in-box join on sf0.001 via the tile engine. */
+  def entry(spark: SparkSession): DataFrame = {
+    implicit val s: SparkSession = spark
+    val dir = "/root/testdata/sf0.001"
+    GeoEngine.spatialJoin(pointsGeo(orderPoints(spark, dir)),
+      boxesGeo(partBoxes(spark, dir)), Predicates.INTERSECTS, grid,
+      broadcastS = true)
+  }
+
+  // ---- query registry -----------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- tiling / partitioning ---
+    "q_tile_assign" -> ((s, dir) => {
+      GeoEngine.tileAssignments(docPoints(s, dir), grid, hexRes = 7)
+        .select(col("id"), col("tile"), col("coarseTile").as("coarse_tile"))
+    }),
+    "q_tile_histogram" -> ((s, dir) => {
+      GeoEngine.tileAssignments(docPoints(s, dir), grid, hexRes = 7)
+        .groupBy(col("tile")).agg(count(lit(1)).as("n"))
+    }),
+
+    // --- spatial joins ---
+    "q_pip_join" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      GeoEngine.spatialJoin(pointsGeo(orderPoints(s, dir)),
+        boxesGeo(partBoxes(s, dir)), Predicates.INTERSECTS, grid,
+        broadcastS = true)
+    }),
+    "q_distance_join" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      GeoEngine.distanceJoin(pointsGeo(orderPoints(s, dir)),
+        pointsGeo(supplierPoints(s, dir)), 3.0, grid)
+    }),
+    "q_knn" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val qs = supplierPoints(s, dir).collect()
+        .map(r => (r.getLong(0), Geom.point(r.getDouble(1), r.getDouble(2)))).toSeq
+      GeoEngine.knnBatch(pointsGeo(orderPoints(s, dir)), qs, 5, Some(grid))
+        .select(col("qid"), col("id"), col("rnk").cast("long").as("rnk"))
+    }),
+
+    // --- range queries ---
+    "q_range_count" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wins = nationWindows(s, dir).collect().map(r =>
+        (r.getLong(0), Geom.box(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toSeq
+      GeoEngine.rangeBatch(pointsGeo(orderPoints(s, dir)), wins, grid)
+        .groupBy("qid").agg(count(lit(1)).as("n"))
+    }),
+    "q_range_collect" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wins = nationWindows(s, dir).collect().map(r =>
+        (r.getLong(0), Geom.box(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toSeq
+      GeoEngine.rangeBatch(pointsGeo(orderPoints(s, dir)), wins, grid)
+    }),
+
+    // --- dedup ---
+    "q_dedup_exact" -> ((s, dir) =>
+      TextOps.exactDedup(s.read.parquet(s"$dir/documents.parquet"))),
+    "q_minhash_pairs" -> ((s, dir) =>
+      TextOps.minhashDedupPairs(s.read.parquet(s"$dir/documents.parquet"), tau = 0.5)
+        .select(col("a"), col("b"))),
+    "q_simhash_pairs" -> ((s, dir) =>
+      TextOps.simhashDupPairs(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // --- text analysis ---
+    "q_token_stats" -> ((s, dir) =>
+      TextOps.tokenStats(s.read.parquet(s"$dir/documents.parquet"))),
+    "q_quality" -> ((s, dir) =>
+      TextOps.qualityFlags(s.read.parquet(s"$dir/documents.parquet"))),
+    "q_lang_dist" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("lang").agg(count(lit(1)).as("n"))),
+    "q_langid" -> ((s, dir) => {
+      val lidUdf = udf { (t: String) => TextOps.langId(t) }
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), lidUdf(col("text")).as("lang_pred"))
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      val fpUdf = udf { (t: String) => TextOps.fingerprint(t) }
+      val shUdf = udf { (t: String) => TextOps.simhash64(t) }
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), fpUdf(col("text")).as("fp"), shUdf(col("text")).as("sh"))
+    }),
+
+    // --- similarity search ---
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val qs = emb.where(col("vec_id") < 5).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      Ann.bruteForceTopK(emb, qs, 10)
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val qs = emb.where(col("vec_id") < 5).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      Ann.lshTopK(emb, qs, 10)
+    }),
+
+    // --- web-scale layer (synthetic pages; deterministic) ---
+    "q_geotag_tiles" -> ((s, dir) => {
+      val n = if (dir.contains("0.001")) 2000L else if (dir.contains("0.01")) 20000L else 200000L
+      Pages.tileAssignments(s, Pages.synthesize(s, n).toDF())
+        .select(col("id"), col("tile"), col("coarseTile").as("coarse_tile"), col("hexCell").as("hex_cell"))
+    }),
+    "q_media_features" -> ((s, dir) => {
+      val n = if (dir.contains("0.001")) 500L else 2000L
+      val pages = Pages.synthesize(s, n).toDF()
+        .withColumn("doc_id", abs(hash(col("url"))).cast("long"))
+      Multimodal.extractFeatures(s, Multimodal.withMeta(pages, "html", "image"),
+        "html", "image", dims = 16)
+        .select(col("doc_id"), col("kind"), col("frames"))
+    })
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private val gridSql =
+    """(SELECT (-180.0 - 1e-8) AS gxmin, (-90.0 - 1e-8) AS gymin,
+      |  ((180.0 + 1e-8) - (-180.0 - 1e-8)) / 872.0 AS fex,
+      |  ((90.0 + 1e-8) - (-90.0 - 1e-8)) / 872.0 AS fey) g""".stripMargin
+
+  private val docPointsSql =
+    """SELECT doc_id AS id,
+      |  (doc_id * 37 % 3600) / 10.0 - 180.0 AS x,
+      |  (doc_id * 53 % 1700) / 10.0 - 85.0 AS y
+      |FROM documents""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_tile_assign" ->
+      s"""WITH pts AS ($docPointsSql),
+         |t AS (SELECT id,
+         |  CAST(FLOOR((x - gxmin) / fex) AS BIGINT) AS fi,
+         |  CAST(FLOOR((y - gymin) / fey) AS BIGINT) AS fj
+         |  FROM pts, $gridSql)
+         |SELECT id, fi + fj * 872 AS tile,
+         |  CAST(FLOOR(fi / 8.0) AS BIGINT) + CAST(FLOOR(fj / 8.0) AS BIGINT) * 109 AS coarse_tile
+         |FROM t""".stripMargin,
+    "q_tile_histogram" ->
+      s"""WITH pts AS ($docPointsSql),
+         |t AS (SELECT CAST(FLOOR((x - gxmin) / fex) AS BIGINT)
+         |  + CAST(FLOOR((y - gymin) / fey) AS BIGINT) * 872 AS tile
+         |  FROM pts, $gridSql)
+         |SELECT tile, COUNT(*) AS n FROM t GROUP BY tile""".stripMargin,
+    "q_pip_join" ->
+      s"""WITH pts AS ($orderPointsSql), boxes AS ($partBoxesSql)
+         |SELECT pts.id AS rid, boxes.id AS sid FROM pts, boxes
+         |WHERE x >= bxmin AND x <= bxmax AND y >= bymin AND y <= bymax""".stripMargin,
+    "q_distance_join" ->
+      s"""WITH r AS ($orderPointsSql), s AS ($supplierPointsSql)
+         |SELECT r.id AS rid, s.id AS sid FROM r, s
+         |WHERE SQRT((r.x - s.x) * (r.x - s.x) + (r.y - s.y) * (r.y - s.y)) <= 3.0""".stripMargin,
+    "q_knn" ->
+      s"""WITH p AS ($orderPointsSql), q AS ($supplierPointsSql)
+         |SELECT qid, id, rnk FROM (
+         |  SELECT q.id AS qid, p.id AS id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+         |      SQRT((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)), p.id) AS rnk
+         |  FROM p, q) WHERE rnk <= 5""".stripMargin,
+    "q_range_count" ->
+      s"""WITH p AS ($orderPointsSql), w AS ($nationWindowsSql)
+         |SELECT qid, COUNT(*) AS n FROM p, w
+         |WHERE x >= wxmin AND x <= wxmax AND y >= wymin AND y <= wymax
+         |GROUP BY qid""".stripMargin,
+    "q_range_collect" ->
+      s"""WITH p AS ($orderPointsSql), w AS ($nationWindowsSql)
+         |SELECT qid, p.id AS id FROM p, w
+         |WHERE x >= wxmin AND x <= wxmax AND y >= wymin AND y <= wymax""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        |  CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens_ws,
+        |  CAST(LENGTH(text) - LENGTH(REPLACE(text, '.', '')) AS BIGINT) AS n_periods,
+        |  CAST(LENGTH(text) - LENGTH(REPLACE(text, ',', '')) AS BIGINT) AS n_commas
+        |FROM documents""".stripMargin,
+    "q_quality" ->
+      """SELECT doc_id,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        |  CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |  LENGTH(text) >= 200 AS len_ok,
+        |  (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) >= 20 AS tok_ok,
+        |  LENGTH(text) < 20000 AS not_huge
+        |FROM documents""".stripMargin,
+    "q_lang_dist" ->
+      "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
+  )
 }

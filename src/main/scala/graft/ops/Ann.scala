@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Baseline: brute-force cosine top-k via a broadcast of the query vectors —
+ * one pass over the data, windowed top-k per query.
+ * Scale path: LSH-bucketed variant (random-hyperplane signatures) that
+ * prunes candidates to matching buckets before exact re-scoring —
+ * bucket join instead of a cross product.
+ */
+object Ann {
+
+  /** Deterministic pseudo-random unit-ish hyperplanes from a seed (no RNG
+    * state — safe under task retries). */
+  private def planeComponent(seed: Long, plane: Int, dim: Int): Float = {
+    var h = seed ^ (plane.toLong * 0x9e3779b97f4a7c15L) ^ (dim.toLong * 0xc2b2ae3d27d4eb4fL)
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+    // map to [-1, 1)
+    (h.toDouble / Long.MaxValue.toDouble).toFloat
+  }
+
+  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Brute-force cosine top-k: (qid, vec_id, rnk). */
+  def bruteForceTopK(embeddings: DataFrame, queries: Seq[(Long, Seq[Float])],
+                     k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = queries.toDF("qid", "qvec")
+    val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) => cosine(a, b) }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    embeddings.join(broadcast(q))
+      .withColumn("sim", cosUdf(col("embedding"), col("qvec")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("rnk"))
+  }
+
+  /** Random-hyperplane LSH signature (nBits planes → Long bucket). */
+  def lshSignature(vec: Seq[Float], nBits: Int, seed: Long): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < nBits) {
+      var dot = 0.0
+      var i = 0
+      while (i < vec.length) { dot += vec(i) * planeComponent(seed, p, i); i += 1 }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** LSH-bucketed ANN: exact re-score only within matching buckets across
+    * `nTables` independent hash tables. Recall grows with tables; candidates
+    * stay ~bucket-sized — the 100-TB path (bucket equi-join, no cross
+    * product). Returns (qid, vec_id, rnk) like the brute-force baseline. */
+  def lshTopK(embeddings: DataFrame, queries: Seq[(Long, Seq[Float])],
+              k: Int, nBits: Int = 6, nTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sigUdf = udf { (v: Seq[Float], table: Int) => lshSignature(v, nBits, seed + table) }
+    val tables = spark.range(nTables).select(col("id").cast("int").as("table"))
+    val emb = embeddings.crossJoin(tables)
+      .withColumn("bucket", sigUdf(col("embedding"), col("table")))
+    // multiprobe: the query also probes all hamming-1 neighbor buckets
+    val probeUdf = udf { (v: Seq[Float], table: Int) =>
+      val b = lshSignature(v, nBits, seed + table)
+      b +: (0 until nBits).map(i => b ^ (1L << i))
+    }
+    val q = queries.toDF("qid", "qvec").crossJoin(tables)
+      .withColumn("bucket", explode(probeUdf(col("qvec"), col("table"))))
+    val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) => cosine(a, b) }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    emb.join(broadcast(q), Seq("table", "bucket"))
+      .select(col("qid"), col("vec_id"), col("embedding"), col("qvec")).distinct()
+      .withColumn("sim", cosUdf(col("embedding"), col("qvec")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("rnk"))
+  }
+}

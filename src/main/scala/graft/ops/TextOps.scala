@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines over the
+ * `documents` table: token/char stats, quality scoring, language-ID
+ * (n-gram/stopword heuristic), SimHash + rolling-hash fingerprints, MinHash
+ * signatures for LSH dedup.
+ *
+ * Everything that feeds a DuckDB oracle is expressed in pure column
+ * functions with cross-engine-deterministic semantics (integer counts, no
+ * float rounding); the hash-based ops are deterministic Scala (same result
+ * every run, every partitioning).
+ */
+object TextOps {
+
+  /** Integer token/char statistics (oracle-checkable: counts only). */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+        .cast("long").as("n_tokens_ws"),
+      (length(col("text")) - length(regexp_replace(col("text"), "\\.", "")))
+        .cast("long").as("n_periods"),
+      (length(col("text")) - length(regexp_replace(col("text"), ",", "")))
+        .cast("long").as("n_commas"))
+
+  /** Quality heuristics as integers/booleans (deterministic across engines). */
+  def qualityFlags(docs: DataFrame): DataFrame = {
+    val nChars = length(col("text"))
+    val nTokens = nChars - length(regexp_replace(col("text"), " ", "")) + 1
+    docs.select(
+      col("doc_id"),
+      nChars.cast("long").as("n_chars"),
+      nTokens.cast("long").as("n_tokens"),
+      (nChars >= 200).as("len_ok"),
+      (nTokens >= 20).as("tok_ok"),
+      (nChars < 20000).as("not_huge"))
+  }
+
+  // 64-bit FNV-1a — stable, dependency-free, same on every JVM
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** SimHash64 over whitespace tokens (bit-voting on FNV64 token hashes). */
+  def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    var start = 0; val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) {
+          val h = fnv64(text.substring(start, i))
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Rolling-hash document fingerprint: min of FNV64 over char 16-grams
+    * (winnowing-lite; cheap near-dup signal). */
+  def fingerprint(text: String, gram: Int = 16): Long = {
+    if (text.length < gram) return fnv64(text)
+    var best = Long.MaxValue
+    var i = 0
+    while (i + gram <= text.length) {
+      val h = fnv64(text.substring(i, i + gram))
+      if (h < best) best = h
+      i += 1
+    }
+    best
+  }
+
+  /** MinHash signature over character `gram`-shingles, `k` permutations
+    * (xor-shift salted FNV). */
+  def minhash(text: String, k: Int = 32, gram: Int = 5): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (text.length < gram) return sig.map(_ => fnv64(text))
+    var i = 0
+    while (i + gram <= text.length) {
+      val base = fnv64(text.substring(i, i + gram))
+      var j = 0
+      while (j < k) {
+        // cheap universal-ish rehash per permutation
+        var h = base ^ (0x9e3779b97f4a7c15L * (j + 1))
+        h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Exact n-gram Jaccard similarity between two texts. */
+  def ngramJaccard(a: String, b: String, gram: Int = 5): Double = {
+    def shingles(s: String): Set[Long] =
+      if (s.length < gram) Set(fnv64(s))
+      else (0 to s.length - gram).map(i => fnv64(s.substring(i, i + gram))).toSet
+    val sa = shingles(a); val sb = shingles(b)
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else (sa intersect sb).size.toDouble / (sa union sb).size
+  }
+
+  /** Tiny language-ID heuristic: stopword hit counting over a fixed set per
+    * language; returns the argmax language or "und". Deterministic. */
+  def langId(text: String): String = {
+    val lower = text.toLowerCase
+    val toks = lower.split("[^a-zà-ÿ]+").iterator.filter(_.nonEmpty).take(512).toArray
+    if (toks.isEmpty) return "und"
+    var best = "und"; var bestHits = 0
+    LangStopwords.foreach { case (lang, words) =>
+      var hits = 0
+      var i = 0
+      while (i < toks.length) { if (words.contains(toks(i))) hits += 1; i += 1 }
+      if (hits > bestHits) { bestHits = hits; best = lang }
+    }
+    best
+  }
+
+  private val LangStopwords: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "on"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von", "für", "auf"),
+    "fr" -> Set("le", "la", "les", "et", "est", "dans", "que", "une", "pour", "qui", "avec", "sur"),
+    "es" -> Set("el", "la", "los", "las", "y", "es", "en", "que", "una", "por", "con", "para"),
+    "it" -> Set("il", "la", "che", "di", "e", "un", "una", "per", "con", "sono", "del", "non"))
+
+  // ------------------------------------------------- DataFrame-level dedup
+
+  /** Exact dedup groups: content hash → group size + keeper id. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+
+  /** MinHash-LSH candidate pairs verified by exact n-gram Jaccard ≥ `tau`.
+    * bands × rows = k; candidates join on (band, band-hash buckets). */
+  def minhashDedupPairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
+                        gram: Int = 5, tau: Double = 0.8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = k / bands
+    val sigUdf = udf { (t: String) => minhash(t, k, gram) }
+    val withSig = docs.select(col("doc_id"), col("text"), sigUdf(col("text")).as("sig"))
+    val bandUdf = udf { (sig: Seq[Long]) =>
+      (0 until bands).map { b =>
+        val slice = sig.slice(b * rows, (b + 1) * rows)
+        (b, slice.foldLeft(0xcbf29ce484222325L)((h, v) => (h ^ v) * 0x100000001b3L))
+      }
+    }
+    val banded = withSig
+      .withColumn("bh", explode(bandUdf(col("sig"))))
+      .select(col("doc_id"), col("text"), col("bh._1").as("band"), col("bh._2").as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"), col("text").as("ta"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"), col("text").as("tb"))
+    val jacUdf = udf { (x: String, y: String) => ngramJaccard(x, y, gram) }
+    l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ta"), col("tb")).distinct()
+      .withColumn("jaccard", jacUdf(col("ta"), col("tb")))
+      .where(col("jaccard") >= tau)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: equal simhash bucket (hamming-0 fast path). */
+  def simhashDupPairs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val shUdf = udf { (t: String) => simhash64(t) }
+    val withH = docs.select(col("doc_id"), shUdf(col("text")).as("sh"))
+    val l = withH.select(col("sh"), col("doc_id").as("a"))
+    val r = withH.select(col("sh"), col("doc_id").as("b"))
+    l.join(r, Seq("sh")).where(col("a") < col("b")).select(col("a"), col("b"), col("sh"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.web
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.ops.TextOps
+
+/** A Common-Crawl-style web page row (BASELINE.json input_hint schema). */
+final case class Page(url: String, warc_ts: java.sql.Timestamp,
+                      html: Array[Byte], text: String, lang: String)
+
+/**
+ * Synthetic web-page corpus + deterministic geotagger.
+ *
+ * The north rule's input is an Iceberg table of pages
+ * (url, warc_ts, html, text, lang) at 10^12 scale; here we synthesize a
+ * deterministic, seed-fixed slice with `spark.range` (so generation is
+ * distributed and reproducible at any scale factor), geotag each page from
+ * its url/text, and emit Dataset[TileAssignment]. The per-row invariant —
+ * byte-identical `text` per url — is asserted by PagesSpec after the full
+ * pipeline.
+ */
+object Pages {
+
+  private val Langs = Array("en", "de", "fr", "es", "it")
+  private val Words = Array(
+    "the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog", "data",
+    "spark", "tile", "grid", "join", "page", "crawl", "web", "index", "query",
+    "der", "die", "und", "le", "la", "les", "el", "los", "il", "che")
+
+  /** Deterministic text for a page id: same id → same bytes, always. */
+  def textFor(id: Long): String = {
+    val sb = new StringBuilder(256)
+    var h = mix(id)
+    val n = 40 + (Math.floorMod(h, 160L)).toInt
+    var i = 0
+    while (i < n) {
+      h = mix(h + i)
+      sb.append(Words(Math.floorMod(h, Words.length.toLong).toInt))
+      sb.append(if (i % 13 == 12) ". " else " ")
+      i += 1
+    }
+    sb.toString.trim
+  }
+
+  @inline private def mix(v: Long): Long = {
+    var h = v * 0x9e3779b97f4a7c15L
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+    h
+  }
+
+  /** Generate `n` synthetic pages, distributed via spark.range. */
+  def synthesize(spark: SparkSession, n: Long): Dataset[Page] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val url = s"https://site-${Math.floorMod(mix(id), 10000L)}.example/" +
+        s"page/${id}"
+      val text = textFor(id)
+      val lang = Langs(Math.floorMod(mix(id + 7), Langs.length.toLong).toInt)
+      val html = s"<html><body>$text</body></html>".getBytes("UTF-8")
+      val ts = new java.sql.Timestamp(1600000000000L + Math.floorMod(mix(id + 3), 100000000L))
+      Page(url, ts, html, text, lang)
+    }
+  }
+
+  /** Deterministic geotag from url+text: FNV64 of the url picks the
+    * longitude band, a text fingerprint the latitude — stable per url. */
+  def geotag(pages: DataFrame): DataFrame = {
+    val lonUdf = udf { (url: String) =>
+      (Math.floorMod(TextOps.fnv64(url), 3600000L)) / 10000.0 - 180.0
+    }
+    val latUdf = udf { (url: String, text: String) =>
+      (Math.floorMod(TextOps.fnv64(url + "|" + text.take(64)), 1700000L)) / 10000.0 - 85.0
+    }
+    pages.withColumn("x", lonUdf(col("url")))
+      .withColumn("y", latUdf(col("url"), col("text")))
+  }
+
+  /** World grid used for web-scale tiling (fixed bounds → no dataspace scan
+    * needed at 10^12 rows; EPS-padded like the reference). */
+  val WorldGrid: GridConfig = GridConfig.fromDataBounds(-180.0, -90.0, 180.0, 90.0)
+
+  /** Full pipeline: pages → geotag → Dataset[TileAssignment] on the world
+    * grid with H3-style hex cells. */
+  def tileAssignments(spark: SparkSession, pages: DataFrame, hexRes: Int = 7): Dataset[graft.TileAssignment] = {
+    val tagged = geotag(pages).withColumn("id",
+      udf { (u: String) => TextOps.fnv64(u) }.apply(col("url")))
+    graft.GeoEngine.tileAssignments(tagged, WorldGrid, hexRes)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{TextOps, Ann, Multimodal}
+import graft.web.Pages
+
+/** Web-scale layer + pipeline-operator tests: the per-row invariant
+  * (byte-identical text per url), deterministic geotags/tiles, ANN recall,
+  * multimodal plumbing shape. */
+class WebOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("pages: byte-identical text per url across independent generations") {
+    val a = Pages.synthesize(spark, 500).toDF().select("url", "text")
+    val b = Pages.synthesize(spark, 500).toDF().select("url", "text")
+      .withColumnRenamed("text", "text2")
+    // full pipeline on one side: geotag + tiles, then join back by url
+    val taggedA = Pages.geotag(a)
+    val joined = taggedA.join(b, "url")
+    assert(joined.where(col("text") =!= col("text2")).count() == 0)
+    assert(joined.count() == 500)
+  }
+
+  test("pages: tile assignments deterministic and within grid bounds") {
+    val t1 = Pages.tileAssignments(spark, Pages.synthesize(spark, 300).toDF()).collect()
+    val t2 = Pages.tileAssignments(spark, Pages.synthesize(spark, 300).toDF()).collect()
+    assert(t1.map(t => (t.id, t.tile, t.hexCell)).toSet ==
+           t2.map(t => (t.id, t.tile, t.hexCell)).toSet)
+    val ppd = Pages.WorldGrid.globalPpd.toLong
+    assert(t1.forall(t => t.tile >= 0 && t.tile < ppd * ppd))
+  }
+
+  test("ANN: LSH finds planted near-duplicates; brute-force top-1 = self") {
+    import spark.implicits._
+    // planted near-dup corpus: 50 bases + a tiny perturbation of each
+    val rnd = new scala.util.Random(9)
+    val bases = (0L until 50L).map(i => (i, Seq.fill(32)(rnd.nextFloat() * 2 - 1)))
+    val dups = bases.map { case (i, v) => (i + 1000L, v.map(x => x + 0.01f)) }
+    val emb = (bases ++ dups).toDF("vec_id", "embedding")
+    val qs = bases.take(20)
+    val lsh = Ann.lshTopK(emb, qs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    // each query must retrieve its planted near-duplicate
+    val found = qs.count { case (q, _) => lsh.get(q).exists(_.exists(_._2 == q + 1000L)) }
+    assert(found >= 18, s"LSH found only $found/20 planted near-dups")
+    // brute force: every query's own vector is its top-1 on real testdata
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rqs = real.where(col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val top1 = Ann.bruteForceTopK(real, rqs, 1).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top1.forall { case (q, v) => q == v })
+    // and LSH recall vs brute force on real (random-ish) data is reported,
+    // multiprobe keeps it usable even on unstructured vectors
+    val bf = Ann.bruteForceTopK(real, rqs, 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l2 = Ann.lshTopK(real, rqs, 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect l2).size.toDouble / bf.size
+    assert(recall >= 0.3, s"LSH recall too low on real data: $recall")
+  }
+
+  test("text ops: langId deterministic + simhash of duplicate texts equal") {
+    assert(TextOps.langId("the quick brown fox is in the house and it was good") == "en")
+    assert(TextOps.langId("der hund ist nicht in der schule und das ist gut") == "de")
+    assert(TextOps.simhash64("hello world abc") == TextOps.simhash64("hello world abc"))
+    assert(TextOps.ngramJaccard("abcdefghij", "abcdefghij") == 1.0)
+    assert(TextOps.ngramJaccard("abcdefghij", "zzzzzzzzzz") == 0.0)
+  }
+
+  test("multimodal: feature extraction plumbing shape + determinism") {
+    val pages = Pages.synthesize(spark, 50).toDF()
+      .withColumn("doc_id", abs(hash(col("url"))).cast("long"))
+    val meta = Multimodal.withMeta(pages, "html", "image")
+    assert(meta.columns.contains("n_bytes") && meta.columns.contains("width"))
+    val f1 = Multimodal.extractFeatures(spark, meta, "html", "image", 16).collect()
+    val f2 = Multimodal.extractFeatures(spark, meta, "html", "image", 16).collect()
+    assert(f1.length == 50)
+    assert(f1.forall(_.feature.length == 16))
+    assert(f1.map(f => (f.doc_id, f.feature.toSeq)).toSet ==
+           f2.map(f => (f.doc_id, f.feature.toSeq)).toSet)
+  }
+
+  test("exact dedup: synthetic corpus with planted duplicates") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, if (i % 10 == 0) "dup text" else s"unique $i"))
+      .toDF("doc_id", "text")
+    val groups = TextOps.exactDedup(docs).collect()
+    val dupGroup = groups.find(_.getLong(1) == 10L)
+    assert(dupGroup.isDefined, "planted duplicate group found")
+    assert(dupGroup.get.getLong(2) == 0L, "keeper is min doc_id")
+    assert(groups.length == 91)
+  }
+}
