@@ -14,10 +14,10 @@ import graft.web.Pages
  * Spatial inputs are derived deterministically from the TPC-H-ish testdata
  * tables with formulas kept bit-identical between the Spark engine path and
  * the oracle SQL (same op order ⇒ same IEEE doubles). Points live on a 1/10°
- * lattice and box edges on a 1/7° lattice so the only possible
- * boundary-coincidences are exact integer coordinates — where both engines
- * agree inclusively — keeping the engine's 1e-9 geometric tolerance
- * invisible to the oracle compare.
+ * lattice; box/window edges live on dyadic lattices (1/8°, 1/16°) whose
+ * values are EXACT doubles, so decimal-equal edges are bit-equal in both
+ * engines and every boundary comparison agrees — the engine's 1e-9
+ * geometric tolerance never sees a 1-ulp formula discrepancy.
  */
 object SparkEntry {
 
@@ -50,10 +50,10 @@ object SparkEntry {
       |FROM supplier""".stripMargin
 
   private def partBoxes(s: SparkSession, dir: String): DataFrame = {
-    val cx = (col("p_partkey") * 13 % 2450) / 7.0 - 175.0
-    val cy = (col("p_partkey") * 17 % 1120) / 7.0 - 80.0
-    val hw = (col("p_partkey") % 40 + 2) / 7.0
-    val hh = (col("p_partkey") % 30 + 2) / 7.0
+    val cx = (col("p_partkey") * 13 % 2800) / 8.0 - 175.0
+    val cy = (col("p_partkey") * 17 % 1280) / 8.0 - 80.0
+    val hw = (col("p_partkey") % 40 + 2) / 8.0
+    val hh = (col("p_partkey") % 30 + 2) / 8.0
     s.read.parquet(s"$dir/part.parquet").select(
       col("p_partkey").as("id"),
       (cx - hw).as("bxmin"), (cy - hh).as("bymin"),
@@ -62,17 +62,17 @@ object SparkEntry {
 
   private val partBoxesSql =
     """SELECT p_partkey AS id,
-      |  ((p_partkey * 13 % 2450) / 7.0 - 175.0) - ((p_partkey % 40 + 2) / 7.0) AS bxmin,
-      |  ((p_partkey * 17 % 1120) / 7.0 - 80.0)  - ((p_partkey % 30 + 2) / 7.0) AS bymin,
-      |  ((p_partkey * 13 % 2450) / 7.0 - 175.0) + ((p_partkey % 40 + 2) / 7.0) AS bxmax,
-      |  ((p_partkey * 17 % 1120) / 7.0 - 80.0)  + ((p_partkey % 30 + 2) / 7.0) AS bymax
+      |  ((p_partkey * 13 % 2800) / 8.0 - 175.0) - ((p_partkey % 40 + 2) / 8.0) AS bxmin,
+      |  ((p_partkey * 17 % 1280) / 8.0 - 80.0)  - ((p_partkey % 30 + 2) / 8.0) AS bymin,
+      |  ((p_partkey * 13 % 2800) / 8.0 - 175.0) + ((p_partkey % 40 + 2) / 8.0) AS bxmax,
+      |  ((p_partkey * 17 % 1280) / 8.0 - 80.0)  + ((p_partkey % 30 + 2) / 8.0) AS bymax
       |FROM part""".stripMargin
 
   private def nationWindows(s: SparkSession, dir: String): DataFrame = {
-    val cx = (col("n_nationkey") * 29 % 2450) / 7.0 - 175.0
-    val cy = (col("n_nationkey") * 31 % 1120) / 7.0 - 80.0
-    val hw = (col("n_nationkey") % 6 + 15) / 7.0
-    val hh = (col("n_nationkey") % 4 + 12) / 7.0
+    val cx = (col("n_nationkey") * 29 % 2800) / 8.0 - 175.0
+    val cy = (col("n_nationkey") * 31 % 1280) / 8.0 - 80.0
+    val hw = (col("n_nationkey") % 6 + 15) / 8.0
+    val hh = (col("n_nationkey") % 4 + 12) / 8.0
     s.read.parquet(s"$dir/nation.parquet").select(
       col("n_nationkey").cast("long").as("qid"),
       (cx - hw).as("wxmin"), (cy - hh).as("wymin"),
@@ -81,11 +81,74 @@ object SparkEntry {
 
   private val nationWindowsSql =
     """SELECT CAST(n_nationkey AS BIGINT) AS qid,
-      |  ((n_nationkey * 29 % 2450) / 7.0 - 175.0) - ((n_nationkey % 6 + 15) / 7.0) AS wxmin,
-      |  ((n_nationkey * 31 % 1120) / 7.0 - 80.0)  - ((n_nationkey % 4 + 12) / 7.0) AS wymin,
-      |  ((n_nationkey * 29 % 2450) / 7.0 - 175.0) + ((n_nationkey % 6 + 15) / 7.0) AS wxmax,
-      |  ((n_nationkey * 31 % 1120) / 7.0 - 80.0)  + ((n_nationkey % 4 + 12) / 7.0) AS wymax
+      |  ((n_nationkey * 29 % 2800) / 8.0 - 175.0) - ((n_nationkey % 6 + 15) / 8.0) AS wxmin,
+      |  ((n_nationkey * 31 % 1280) / 8.0 - 80.0)  - ((n_nationkey % 4 + 12) / 8.0) AS wymin,
+      |  ((n_nationkey * 29 % 2800) / 8.0 - 175.0) + ((n_nationkey % 6 + 15) / 8.0) AS wxmax,
+      |  ((n_nationkey * 31 % 1280) / 8.0 - 80.0)  + ((n_nationkey % 4 + 12) / 8.0) AS wymax
       |FROM nation""".stripMargin
+
+  /** Customer boxes on the same formula as part boxes → keys present in both
+    * tables yield exactly equal boxes (EQUAL-join coverage); plus formula
+    * collisions. */
+  private def custBoxes(s: SparkSession, dir: String): DataFrame = {
+    val cx = (col("c_custkey") * 13 % 2800) / 8.0 - 175.0
+    val cy = (col("c_custkey") * 17 % 1280) / 8.0 - 80.0
+    val hw = (col("c_custkey") % 40 + 2) / 8.0
+    val hh = (col("c_custkey") % 30 + 2) / 8.0
+    s.read.parquet(s"$dir/customer.parquet").select(
+      col("c_custkey").as("id"),
+      (cx - hw).as("bxmin"), (cy - hh).as("bymin"),
+      (cx + hw).as("bxmax"), (cy + hh).as("bymax"))
+  }
+
+  private val custBoxesSql =
+    """SELECT c_custkey AS id,
+      |  ((c_custkey * 13 % 2800) / 8.0 - 175.0) - ((c_custkey % 40 + 2) / 8.0) AS bxmin,
+      |  ((c_custkey * 17 % 1280) / 8.0 - 80.0)  - ((c_custkey % 30 + 2) / 8.0) AS bymin,
+      |  ((c_custkey * 13 % 2800) / 8.0 - 175.0) + ((c_custkey % 40 + 2) / 8.0) AS bxmax,
+      |  ((c_custkey * 17 % 1280) / 8.0 - 80.0)  + ((c_custkey % 30 + 2) / 8.0) AS bymax
+      |FROM customer""".stripMargin
+
+  /** Small boxes (1/16° dyadic lattice) from customer — the INSIDE-join probe side. */
+  private def smallBoxes(s: SparkSession, dir: String): DataFrame = {
+    val cx = (col("c_custkey") * 13 % 2800) / 8.0 - 175.0
+    val cy = (col("c_custkey") * 17 % 1280) / 8.0 - 80.0
+    val hw = (col("c_custkey") % 10 + 1) / 16.0
+    val hh = (col("c_custkey") % 8 + 1) / 16.0
+    s.read.parquet(s"$dir/customer.parquet").select(
+      col("c_custkey").as("id"),
+      (cx - hw).as("bxmin"), (cy - hh).as("bymin"),
+      (cx + hw).as("bxmax"), (cy + hh).as("bymax"))
+  }
+
+  private val smallBoxesSql =
+    """SELECT c_custkey AS id,
+      |  ((c_custkey * 13 % 2800) / 8.0 - 175.0) - ((c_custkey % 10 + 1) / 16.0) AS bxmin,
+      |  ((c_custkey * 17 % 1280) / 8.0 - 80.0)  - ((c_custkey % 8 + 1) / 16.0) AS bymin,
+      |  ((c_custkey * 13 % 2800) / 8.0 - 175.0) + ((c_custkey % 10 + 1) / 16.0) AS bxmax,
+      |  ((c_custkey * 17 % 1280) / 8.0 - 80.0)  + ((c_custkey % 8 + 1) / 16.0) AS bymax
+      |FROM customer""".stripMargin
+
+  /** Part boxes translated east by their own width: each shares its west edge
+    * with the original (MEET-join coverage). */
+  private def shiftedBoxes(s: SparkSession, dir: String): DataFrame = {
+    val cx = (col("p_partkey") * 13 % 2800) / 8.0 - 175.0
+    val cy = (col("p_partkey") * 17 % 1280) / 8.0 - 80.0
+    val hw = (col("p_partkey") % 40 + 2) / 8.0
+    val hh = (col("p_partkey") % 30 + 2) / 8.0
+    s.read.parquet(s"$dir/part.parquet").select(
+      col("p_partkey").as("id"),
+      (cx + hw).as("bxmin"), (cy - hh).as("bymin"),
+      ((cx + hw) + (hw + hw)).as("bxmax"), (cy + hh).as("bymax"))
+  }
+
+  private val shiftedBoxesSql =
+    """SELECT p_partkey AS id,
+      |  ((p_partkey * 13 % 2800) / 8.0 - 175.0) + ((p_partkey % 40 + 2) / 8.0) AS bxmin,
+      |  ((p_partkey * 17 % 1280) / 8.0 - 80.0)  - ((p_partkey % 30 + 2) / 8.0) AS bymin,
+      |  (((p_partkey * 13 % 2800) / 8.0 - 175.0) + ((p_partkey % 40 + 2) / 8.0)) + (((p_partkey % 40 + 2) / 8.0) + ((p_partkey % 40 + 2) / 8.0)) AS bxmax,
+      |  ((p_partkey * 17 % 1280) / 8.0 - 80.0)  + ((p_partkey % 30 + 2) / 8.0) AS bymax
+      |FROM part""".stripMargin
 
   private def docPoints(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet").select(
@@ -143,6 +206,26 @@ object SparkEntry {
       GeoEngine.spatialJoin(pointsGeo(orderPoints(s, dir)),
         boxesGeo(partBoxes(s, dir)), Predicates.INTERSECTS, grid,
         broadcastS = true)
+    }),
+    "q_inside_join" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      GeoEngine.spatialJoin(boxesGeo(smallBoxes(s, dir)),
+        boxesGeo(partBoxes(s, dir)), Predicates.INSIDE, grid, broadcastS = true)
+    }),
+    "q_equal_join" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      GeoEngine.spatialJoin(boxesGeo(custBoxes(s, dir)),
+        boxesGeo(partBoxes(s, dir)), Predicates.EQUAL, grid, broadcastS = true)
+    }),
+    "q_meet_join" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      GeoEngine.spatialJoin(boxesGeo(partBoxes(s, dir)),
+        boxesGeo(shiftedBoxes(s, dir)), Predicates.MEET, grid, broadcastS = true)
+    }),
+    "q_find_relation" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      GeoEngine.findRelationJoin(boxesGeo(partBoxes(s, dir)),
+        boxesGeo(custBoxes(s, dir)), grid)
     }),
     "q_distance_join" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -264,6 +347,39 @@ object SparkEntry {
       s"""WITH pts AS ($orderPointsSql), boxes AS ($partBoxesSql)
          |SELECT pts.id AS rid, boxes.id AS sid FROM pts, boxes
          |WHERE x >= bxmin AND x <= bxmax AND y >= bymin AND y <= bymax""".stripMargin,
+    "q_inside_join" ->
+      s"""WITH r AS ($smallBoxesSql), s AS ($partBoxesSql)
+         |SELECT r.id AS rid, s.id AS sid FROM r, s
+         |WHERE r.bxmin >= s.bxmin AND r.bxmax <= s.bxmax
+         |  AND r.bymin >= s.bymin AND r.bymax <= s.bymax""".stripMargin,
+    "q_equal_join" ->
+      s"""WITH r AS ($custBoxesSql), s AS ($partBoxesSql)
+         |SELECT r.id AS rid, s.id AS sid FROM r, s
+         |WHERE r.bxmin = s.bxmin AND r.bxmax = s.bxmax
+         |  AND r.bymin = s.bymin AND r.bymax = s.bymax""".stripMargin,
+    "q_meet_join" ->
+      s"""WITH r AS ($partBoxesSql), s AS ($shiftedBoxesSql)
+         |SELECT r.id AS rid, s.id AS sid FROM r, s
+         |WHERE r.bxmin <= s.bxmax AND r.bxmax >= s.bxmin
+         |  AND r.bymin <= s.bymax AND r.bymax >= s.bymin
+         |  AND (r.bxmin = s.bxmax OR r.bxmax = s.bxmin
+         |    OR r.bymin = s.bymax OR r.bymax = s.bymin)""".stripMargin,
+    "q_find_relation" ->
+      s"""WITH r AS ($partBoxesSql), s AS ($custBoxesSql)
+         |SELECT r.id AS rid, s.id AS sid,
+         |  CASE
+         |    WHEN r.bxmin = s.bxmin AND r.bxmax = s.bxmax
+         |     AND r.bymin = s.bymin AND r.bymax = s.bymax THEN 6
+         |    WHEN r.bxmin <= s.bxmin AND r.bxmax >= s.bxmax
+         |     AND r.bymin <= s.bymin AND r.bymax >= s.bymax THEN 3
+         |    WHEN r.bxmin >= s.bxmin AND r.bxmax <= s.bxmax
+         |     AND r.bymin >= s.bymin AND r.bymax <= s.bymax THEN 2
+         |    WHEN r.bxmin = s.bxmax OR r.bxmax = s.bxmin
+         |      OR r.bymin = s.bymax OR r.bymax = s.bymin THEN 7
+         |    ELSE 1 END AS relation
+         |FROM r, s
+         |WHERE r.bxmin <= s.bxmax AND r.bxmax >= s.bxmin
+         |  AND r.bymin <= s.bymax AND r.bymax >= s.bymin""".stripMargin,
     "q_distance_join" ->
       s"""WITH r AS ($orderPointsSql), s AS ($supplierPointsSql)
          |SELECT r.id AS rid, s.id AS sid FROM r, s
