@@ -86,6 +86,35 @@ object GeoEngine {
       explode(tilesUdf(col("gtype"), col("xmin"), col("ymin"), col("xmax"), col("ymax"))))
   }
 
+  /** Tile explode for any DataFrame carrying (gtype, xmin, ymin, xmax, ymax). */
+  def withTiles2(df: DataFrame, grid: GridConfig): DataFrame = {
+    val tilesUdf = udf { (gtype: Int, xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>
+      if (gtype == GeomType.POINT) Array(grid.fineTileOfPoint(xmin, ymin))
+      else grid.fineTiles(MBR(xmin, ymin, xmax, ymax))
+    }
+    df.withColumn("tile",
+      explode(tilesUdf(col("gtype"), col("xmin"), col("ymin"), col("xmax"), col("ymax"))))
+  }
+
+  /**
+   * APRIL index build: adds `april_all` / `april_full` interval-list columns,
+   * rasterizing each object exactly once (the reference's buildAPRIL,
+   * src/containers.cpp:300-334, as lazy columns instead of sidecar files).
+   * Persist the result to make the index durable, exactly like the
+   * reference's `persist=true` APRIL files.
+   */
+  def aprilIndex(df: DataFrame, grid: GridConfig, order: Int = AprilOrder): DataFrame = {
+    val rastUdf = udf { (gtype: Int, coords: Array[Double]) =>
+      val a = April.rasterize(Geom(gtype, coords), grid.xMin, grid.yMin,
+        grid.xExtent, grid.yExtent, order)
+      (a.all, a.full)
+    }
+    df.withColumn("_april", rastUdf(col("gtype"), col("coords")))
+      .withColumn("april_all", col("_april._1"))
+      .withColumn("april_full", col("_april._2"))
+      .drop("_april")
+  }
+
   /** Full tile assignment (fine tile + coarse tile + class + hex cell) for
     * point records — the Dataset[TileAssignment] surface of the north rule. */
   def tileAssignments(points: DataFrame, grid: GridConfig, hexRes: Int): Dataset[TileAssignment] = {
@@ -124,16 +153,38 @@ object GeoEngine {
    */
   def spatialJoin(r: Dataset[GeoRow], s: Dataset[GeoRow], pred: Int,
                   grid: GridConfig, useApril: Boolean = false,
-                  broadcastS: Boolean = false): DataFrame = {
-    val rt = withTiles(r, grid).select(
-      col("tile"), col("id").as("rid"), col("gtype").as("rg"), col("coords").as("rc"),
-      col("xmin").as("rxmin"), col("ymin").as("rymin"),
-      col("xmax").as("rxmax"), col("ymax").as("rymax"))
-    val st0 = withTiles(s, grid).select(
-      col("tile"), col("id").as("sid"), col("gtype").as("sg"), col("coords").as("sc"),
-      col("xmin").as("sxmin"), col("ymin").as("symin"),
-      col("xmax").as("sxmax"), col("ymax").as("symax"))
+                  broadcastS: Boolean = false,
+                  saltFactor: Int = 1): DataFrame = {
+    def ix(df: DataFrame): DataFrame =
+      if (!useApril) df
+      else if (df.columns.contains("april_all")) df // pre-indexed (buildIndex)
+      else aprilIndex(df, grid)
+    val rIx = ix(r.toDF())
+    val sIx = ix(s.toDF())
+    def side(df: DataFrame, p: String, idName: String): DataFrame = {
+      val base = withTiles2(df, grid).select(
+        (Seq(col("tile"), col("id").as(idName), col("gtype").as(p + "g"),
+          col("coords").as(p + "c"),
+          col("xmin").as(p + "xmin"), col("ymin").as(p + "ymin"),
+          col("xmax").as(p + "xmax"), col("ymax").as(p + "ymax")) ++
+          (if (useApril) Seq(col("april_all").as(p + "_april_all"),
+            col("april_full").as(p + "_april_full")) else Nil)): _*)
+      base
+    }
+    val rt0 = side(rIx, "r", "rid")
+    var st0 = side(sIx, "s", "sid")
+    // hot-tile salting (shuffle joins only): probe side takes a stable salt
+    // from its id, build side replicates saltFactor ways — a hot tile's rows
+    // spread over saltFactor shuffle partitions. AQE skew-split handles the
+    // moderate case; explicit salting is for the 10^12-row hot-spot regime.
+    val salted = saltFactor > 1 && !broadcastS
+    val rt = if (salted)
+      rt0.withColumn("salt", pmod(hash(col("rid")), lit(saltFactor))) else rt0
+    if (salted)
+      st0 = st0.withColumn("salt",
+        explode(sequence(lit(0), lit(saltFactor - 1))))
     val st = if (broadcastS) broadcast(st0) else st0
+    val joinKeys = if (salted) Seq("tile", "salt") else Seq("tile")
 
     val mbrOverlap =
       col("rxmax") >= col("sxmin") && col("rxmin") <= col("sxmax") &&
@@ -164,21 +215,19 @@ object GeoEngine {
           .otherwise(refineUdf(lit(pred), col("rg"), col("rc"), col("sg"), col("sc")))
       else refineUdf(lit(pred), col("rg"), col("rc"), col("sg"), col("sc"))
 
-    val joined = rt.join(st, Seq("tile")).where(mbrOverlap && dedup)
+    val joined = rt.join(st, joinKeys).where(mbrOverlap && dedup)
 
     val withVerdict = if (useApril) {
-      val aprilUdf = udf {
-        (p: Int, rg: Int, rc: Array[Double], sg: Int, sc: Array[Double]) =>
-          val ra = April.rasterize(Geom(rg, rc), grid.xMin, grid.yMin,
-            grid.xExtent, grid.yExtent, AprilOrder)
-          val sa = April.rasterize(Geom(sg, sc), grid.xMin, grid.yMin,
-            grid.xExtent, grid.yExtent, AprilOrder)
-          April.verdict(p, ra, sa)
+      val verdictUdf = udf {
+        (p: Int, ra: Array[Long], rf: Array[Long], sa: Array[Long], sf: Array[Long]) =>
+          April.verdict(p, April.Approx(ra, rf), April.Approx(sa, sf))
       }
       joined
         .withColumn("verdict",
           when(rectangular && lit(pred == Predicates.INTERSECTS), April.TRUE_HIT)
-            .otherwise(aprilUdf(lit(pred), col("rg"), col("rc"), col("sg"), col("sc"))))
+            .otherwise(verdictUdf(lit(pred),
+              col("r_april_all"), col("r_april_full"),
+              col("s_april_all"), col("s_april_full"))))
         .where(col("verdict") === April.TRUE_HIT ||
           (col("verdict") === April.INCONCLUSIVE && exactPredicate))
     } else {

@@ -94,10 +94,64 @@ object ScaleBench {
       tileSec = math.min(tileSec, (t1 - t0) / 1e9)
       joinSec = math.min(joinSec, (t2 - t1) / 1e9)
     }
+    // -------- polygon join: exact refinement vs APRIL cascade --------------
+    // deterministic star polygons; the APRIL index is built & persisted
+    // outside the timed window (the reference's buildAPRIL persist mode)
+    val mkPoly = udf { (id: Long, cx: Double, cy: Double, rad: Double) =>
+      val n = 24 + (id % 17).toInt // vertex-heavy: OSM-like feature complexity
+      val cs = new Array[Double](2 * (n + 1))
+      var i = 0
+      while (i < n) {
+        val ang = 2 * math.Pi * i / n
+        val rr = rad * (0.5 + 0.5 * (((id * 31 + i * 17) % 97) / 97.0))
+        cs(2 * i) = cx + rr * math.cos(ang)
+        cs(2 * i + 1) = cy + rr * math.sin(ang)
+        i += 1
+      }
+      cs(2 * n) = cs(0); cs(2 * n + 1) = cs(1)
+      cs
+    }
+    // OSM-realistic sizes (small features) packed into a 35°×16° region so
+    // candidate density is meaningful; APRIL interval lists stay compact
+    def polys(n: Long, rad: Double, salt: Int) = {
+      val base = spark.range(n).select(col("id"),
+        ((col("id") * (29 + salt) % 3500) / 100.0 - 100.0).as("cx"),
+        ((col("id") * (37 + salt) % 1600) / 100.0 - 8.0).as("cy"))
+        .withColumn("coords", mkPoly(col("id"), col("cx"), col("cy"), lit(rad)))
+      base.select(col("id"), lit(GeomType.POLYGON).as("gtype"), col("coords"),
+        (col("cx") - rad).as("xmin"), (col("cy") - rad).as("ymin"),
+        (col("cx") + rad).as("xmax"), (col("cy") + rad).as("ymax")).as[GeoRow]
+    }
+    val polyR = polys(nPages / 10, 0.05, 0)
+    val polyS = polys(2000, 0.3, 7)
+    var exactSec = Double.MaxValue; var aprilSec = Double.MaxValue
+    var nExact = 0L; var nApril = 0L
+    // index build (buildIndex analogue) happens once, outside the timed
+    // window: plain cached for the exact path, APRIL-indexed cached for the
+    // cascade path — queries then reuse the persisted index
+    val rPlain = polyR.cache(); val sPlain = polyS.cache()
+    rPlain.count(); sPlain.count()
+    val rIdx = GeoEngine.aprilIndex(polyR.toDF(), grid).as[GeoRow].cache()
+    val sIdx = GeoEngine.aprilIndex(polyS.toDF(), grid).as[GeoRow].cache()
+    rIdx.count(); sIdx.count()
+    for (_ <- 1 to iters) {
+      val t3 = System.nanoTime()
+      nExact = GeoEngine.spatialJoin(rPlain, sPlain, Predicates.INTERSECTS, grid,
+        useApril = false, broadcastS = true).count()
+      val t4 = System.nanoTime()
+      nApril = GeoEngine.spatialJoin(rIdx, sIdx, Predicates.INTERSECTS, grid,
+        useApril = true, broadcastS = true).count()
+      val t5 = System.nanoTime()
+      exactSec = math.min(exactSec, (t4 - t3) / 1e9)
+      aprilSec = math.min(aprilSec, (t5 - t4) / 1e9)
+    }
+    require(nExact == nApril, s"APRIL changed results: $nExact vs $nApril")
+
     val total = tileSec + joinSec
     println(s"""{"metric":"scale_headline","cpus":$cpus,"pages":$nPages,""" +
       s""""tile_assign_sec":$tileSec,"join_sec":$joinSec,"total_sec":$total,""" +
-      s""""rows_per_sec":${(nPages / total).toLong},"assigned":$nAssigned,"joined":$nJoined}""")
+      s""""rows_per_sec":${(nPages / total).toLong},"assigned":$nAssigned,"joined":$nJoined,""" +
+      s""""poly_join_exact_sec":$exactSec,"poly_join_april_sec":$aprilSec,"poly_pairs":$nExact}""")
     spark.stop()
   }
 }
