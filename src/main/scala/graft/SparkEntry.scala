@@ -298,6 +298,36 @@ object SparkEntry {
       Ann.lshTopK(emb, qs, 10)
     }),
 
+    // --- event-time windowed tile aggregation (streaming op, batch-checked) ---
+    "q_events_window" -> ((s, dir) => {
+      graft.streaming.StreamOps.tileWindowCounts(
+        s.read.parquet(s"$dir/events.parquet"), grid)
+        .select(unix_timestamp(col("win_start")).as("win_s"),
+          col("coarse_tile"), col("n"))
+    }),
+
+    // --- raster <-> vector materialization ---
+    "q_hex_vectorize" -> ((s, dir) => {
+      // raster->vector: distinct hex cells of the doc points, materialized
+      // as polygon WKT (deterministic)
+      val cellWkt = udf { (cell: Long) =>
+        Wkt.write(HexGrid.cellPolygon(cell))
+      }
+      GeoEngine.tileAssignments(docPoints(s, dir), grid, hexRes = 5)
+        .select(col("hexCell")).distinct()
+        .select(col("hexCell").as("hex_cell"), cellWkt(col("hexCell")).as("wkt"))
+    }),
+    "q_rasterize" -> ((s, dir) => {
+      // vector->raster: boxes rasterized to APRIL interval lists; emit
+      // interval/cell counts per geometry (deterministic)
+      implicit val sp: SparkSession = s
+      val g = grid
+      val ix = GeoEngine.aprilIndex(boxesGeo(partBoxes(s, dir)).toDF(), g, order = 10)
+      ix.select(col("id"),
+        (size(col("april_all")) / 2).cast("long").as("n_all_intervals"),
+        (size(col("april_full")) / 2).cast("long").as("n_full_intervals"))
+    }),
+
     // --- web-scale layer (synthetic pages; deterministic) ---
     "q_geotag_tiles" -> ((s, dir) => {
       val n = if (dir.contains("0.001")) 2000L else if (dir.contains("0.01")) 20000L else 200000L
@@ -419,6 +449,18 @@ object SparkEntry {
         |  LENGTH(text) < 20000 AS not_huge
         |FROM documents""".stripMargin,
     "q_lang_dist" ->
-      "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
+      "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+    "q_events_window" ->
+      s"""WITH e AS (SELECT ts, user_id,
+         |  (user_id * 7 % 3600) / 10.0 - 180.0 AS x,
+         |  (user_id * 11 % 1700) / 10.0 - 85.0 AS y FROM events),
+         |t AS (SELECT ts,
+         |  CAST(FLOOR((x - gxmin) / fex) AS BIGINT) AS fi,
+         |  CAST(FLOOR((y - gymin) / fey) AS BIGINT) AS fj
+         |  FROM e, $gridSql)
+         |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_s,
+         |  CAST(FLOOR(fi / 8.0) AS BIGINT) + CAST(FLOOR(fj / 8.0) AS BIGINT) * 109 AS coarse_tile,
+         |  COUNT(*) AS n
+         |FROM t GROUP BY 1, 2""".stripMargin
   )
 }
