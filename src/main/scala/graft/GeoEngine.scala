@@ -77,23 +77,26 @@ object GeoEngine {
 
   /** Explode a dataset by its fine-tile cover: adds `tile` (and keeps every
     * original column). Points take the single-tile fast path. */
-  def withTiles(ds: Dataset[GeoRow], grid: GridConfig): DataFrame = {
-    val tilesUdf = udf { (gtype: Int, xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>
-      if (gtype == GeomType.POINT) Array(grid.fineTileOfPoint(xmin, ymin))
-      else grid.fineTiles(MBR(xmin, ymin, xmax, ymax))
-    }
-    ds.withColumn("tile",
-      explode(tilesUdf(col("gtype"), col("xmin"), col("ymin"), col("xmax"), col("ymax"))))
-  }
+  def withTiles(ds: Dataset[GeoRow], grid: GridConfig): DataFrame =
+    withTiles2(ds.toDF(), grid)
 
-  /** Tile explode for any DataFrame carrying (gtype, xmin, ymin, xmax, ymax). */
+  /** Tile explode for any DataFrame carrying (gtype, xmin, ymin, xmax, ymax).
+    * Pure Catalyst expressions (sequence/transform/flatten) — no UDF, the
+    * cover generation stays inside whole-stage codegen. */
   def withTiles2(df: DataFrame, grid: GridConfig): DataFrame = {
-    val tilesUdf = udf { (gtype: Int, xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>
-      if (gtype == GeomType.POINT) Array(grid.fineTileOfPoint(xmin, ymin))
-      else grid.fineTiles(MBR(xmin, ymin, xmax, ymax))
-    }
+    def clampI(c: Column, ext: Double, lo: Double): Column =
+      least(greatest(floor((c - lit(lo)) / lit(ext)).cast("long"), lit(0L)),
+        lit(grid.globalPpd - 1L))
+    val iMin = clampI(col("xmin"), grid.fineExtX, grid.xMin)
+    val iMax = clampI(col("xmax"), grid.fineExtX, grid.xMin)
+    val jMin = clampI(col("ymin"), grid.fineExtY, grid.yMin)
+    val jMax = clampI(col("ymax"), grid.fineExtY, grid.yMin)
+    val ppd = lit(grid.globalPpd.toLong)
+    val cover = flatten(transform(sequence(jMin, jMax),
+      j => transform(sequence(iMin, iMax), i => i + j * ppd)))
+    val single = array(iMin + jMin * ppd)
     df.withColumn("tile",
-      explode(tilesUdf(col("gtype"), col("xmin"), col("ymin"), col("xmax"), col("ymax"))))
+      explode(when(col("gtype") === GeomType.POINT, single).otherwise(cover)))
   }
 
   /**

@@ -298,6 +298,55 @@ object SparkEntry {
       Ann.lshTopK(emb, qs, 10)
     }),
 
+    // --- polygon predicates beyond intersects (rows-only: SQL can't
+    //     express polygon topology; pinned instead by golden + property tests) ---
+    "q_poly_relations" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val mk = udf { (id: Long, cx: Double, cy: Double, rad: Double) =>
+        val n = 8 + (id % 5).toInt
+        val cs = new Array[Double](2 * (n + 1))
+        var i = 0
+        while (i < n) {
+          val ang = 2 * math.Pi * i / n
+          val rr = rad * (0.6 + 0.4 * (((id * 31 + i * 17) % 97) / 97.0))
+          cs(2 * i) = cx + rr * math.cos(ang); cs(2 * i + 1) = cy + rr * math.sin(ang)
+          i += 1
+        }
+        cs(2 * n) = cs(0); cs(2 * n + 1) = cs(1)
+        cs
+      }
+      def polyTable(table: String, key: String, rad: Double) = {
+        val base = s.read.parquet(s"$dir/$table.parquet").select(
+          col(key).cast("long").as("id"),
+          ((col(key) * 13 % 2800) / 8.0 - 175.0).as("cx"),
+          ((col(key) * 17 % 1280) / 8.0 - 80.0).as("cy"))
+          .withColumn("coords", mk(col("id"), col("cx"), col("cy"), lit(rad)))
+        base.select(col("id"), lit(GeomType.POLYGON).as("gtype"), col("coords"),
+          (col("cx") - rad).as("xmin"), (col("cy") - rad).as("ymin"),
+          (col("cx") + rad).as("xmax"), (col("cy") + rad).as("ymax")).as[GeoRow]
+      }
+      GeoEngine.findRelationJoin(polyTable("part", "p_partkey", 2.0),
+        polyTable("customer", "c_custkey", 0.4), grid)
+        .groupBy("relation").agg(count(lit(1)).as("n"))
+    }),
+
+    // --- embedding-cosine near-dup (LSH buckets + exact rescoring) ---
+    "q_embed_dedup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val sigUdf = udf { (v: Seq[Float], t: Int) => Ann.lshSignature(v, 8, 42L + t) }
+      val tables = s.range(4).select(col("id").cast("int").as("t"))
+      val banded = emb.crossJoin(tables)
+        .withColumn("bucket", sigUdf(col("embedding"), col("t")))
+      val l = banded.select(col("t"), col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
+      val r = banded.select(col("t"), col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
+      val cosUdf = udf { (x: Seq[Float], y: Seq[Float]) => Ann.cosine(x, y) }
+      l.join(r, Seq("t", "bucket")).where(col("a") < col("b"))
+        .select(col("a"), col("b"), col("ea"), col("eb")).distinct()
+        .where(cosUdf(col("ea"), col("eb")) >= 0.3)
+        .select(col("a"), col("b")).distinct()
+    }),
+
     // --- event-time windowed tile aggregation (streaming op, batch-checked) ---
     "q_events_window" -> ((s, dir) => {
       graft.streaming.StreamOps.tileWindowCounts(

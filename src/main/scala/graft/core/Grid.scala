@@ -135,6 +135,12 @@ final case class GridConfig(
 
   @inline private def clamp(v: Int): Int =
     if (v < 0) 0 else if (v >= globalPpd) globalPpd - 1 else v
+
+  /** Reference node assignment for a coarse (distribution) tile:
+    * rank = (partitionID % workers) + 1 (containers.h:1759-1761) — the
+    * tile→partition parity key for cluster placement. */
+  @inline def nodeRankForCoarse(coarseTile: Long, workers: Int): Int =
+    ((coarseTile % workers) + 1).toInt
 }
 
 object GridConfig {
