@@ -207,16 +207,66 @@ object GeoEngine {
       (p: Int, rg: Int, rc: Array[Double], sg: Int, sc: Array[Double]) =>
         Topology.evalPredicate(p, Geom(rg, rc), Geom(sg, sc))
     }
-    // Rectangular fast path: for POINT/BOX pairs the MBR-overlap test (already
-    // applied) IS the exact intersects predicate — no UDF, stays in codegen.
+    // Rectangular fast path: for POINT/BOX pairs every predicate is a pure
+    // coordinate comparison (DE-9IM on axis-aligned closed rectangles) — no
+    // UDF, stays in whole-stage codegen. Exact arithmetic (no tolerance);
+    // non-degenerate boxes assumed (zero-area rings are rejected at parse).
     val rectangular =
       (col("rg") === GeomType.POINT || col("rg") === GeomType.BOX) &&
       (col("sg") === GeomType.POINT || col("sg") === GeomType.BOX)
+    val rPoint = col("rg") === GeomType.POINT
+    val sPoint = col("sg") === GeomType.POINT
+    val coordsEqual =
+      col("rxmin") === col("sxmin") && col("rymin") === col("symin") &&
+      col("rxmax") === col("sxmax") && col("rymax") === col("symax")
+    val rInSClosed =
+      col("rxmin") >= col("sxmin") && col("rxmax") <= col("sxmax") &&
+      col("rymin") >= col("symin") && col("rymax") <= col("symax")
+    val sInRClosed =
+      col("sxmin") >= col("rxmin") && col("sxmax") <= col("rxmax") &&
+      col("symin") >= col("rymin") && col("symax") <= col("rymax")
+    val rPtStrictInS =
+      col("rxmin") > col("sxmin") && col("rxmin") < col("sxmax") &&
+      col("rymin") > col("symin") && col("rymin") < col("symax")
+    val sPtStrictInR =
+      col("sxmin") > col("rxmin") && col("sxmin") < col("rxmax") &&
+      col("symin") > col("rymin") && col("symin") < col("rymax")
+    // candidates already passed the closed MBR-overlap test
+    val facingEdge =
+      col("rxmin") === col("sxmax") || col("rxmax") === col("sxmin") ||
+      col("rymin") === col("symax") || col("rymax") === col("symin")
+    val rectExact: Column = pred match {
+      case Predicates.INTERSECTS => lit(true)
+      case Predicates.DISJOINT => lit(false) // tile-local candidates overlap
+      case Predicates.EQUAL => coordsEqual
+      case Predicates.INSIDE =>
+        when(rPoint && sPoint, coordsEqual)
+          .when(rPoint, rPtStrictInS)
+          .when(sPoint, lit(false))
+          .otherwise(rInSClosed)
+      case Predicates.COVERED_BY =>
+        when(rPoint && sPoint, coordsEqual)
+          .when(rPoint, rInSClosed)
+          .when(sPoint, lit(false))
+          .otherwise(rInSClosed)
+      case Predicates.CONTAINS =>
+        when(rPoint && sPoint, coordsEqual)
+          .when(sPoint, sPtStrictInR)
+          .when(rPoint, lit(false))
+          .otherwise(sInRClosed)
+      case Predicates.COVERS =>
+        when(rPoint && sPoint, coordsEqual)
+          .when(sPoint, sInRClosed)
+          .when(rPoint, lit(false))
+          .otherwise(sInRClosed)
+      case Predicates.MEET =>
+        when(rPoint && sPoint, lit(false)) // points have no boundary
+          .otherwise(facingEdge) // boundary-only contact given closed overlap
+      case _ => lit(false)
+    }
     def exactPredicate: Column =
-      if (pred == Predicates.INTERSECTS)
-        when(rectangular, lit(true))
-          .otherwise(refineUdf(lit(pred), col("rg"), col("rc"), col("sg"), col("sc")))
-      else refineUdf(lit(pred), col("rg"), col("rc"), col("sg"), col("sc"))
+      when(rectangular, rectExact)
+        .otherwise(refineUdf(lit(pred), col("rg"), col("rc"), col("sg"), col("sc")))
 
     val joined = rt.join(st, joinKeys).where(mbrOverlap && dedup)
 
@@ -227,7 +277,8 @@ object GeoEngine {
       }
       joined
         .withColumn("verdict",
-          when(rectangular && lit(pred == Predicates.INTERSECTS), April.TRUE_HIT)
+          when(rectangular,
+            when(rectExact, April.TRUE_HIT).otherwise(April.TRUE_NEGATIVE))
             .otherwise(verdictUdf(lit(pred),
               col("r_april_all"), col("r_april_full"),
               col("s_april_all"), col("s_april_full"))))

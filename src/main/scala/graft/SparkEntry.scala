@@ -377,6 +377,14 @@ object SparkEntry {
         (size(col("april_full")) / 2).cast("long").as("n_full_intervals"))
     }),
 
+    // --- stateful sessionization (streaming op, batch-checked vs oracle) ---
+    "q_sessions" -> ((s, dir) => {
+      graft.streaming.StreamOps.sessionize(
+        s.read.parquet(s"$dir/events.parquet"), grid)
+        .select(col("user_id"), col("n_events").cast("long").as("n_events"),
+          col("start_ms"), col("end_ms"), col("tiles").cast("long").as("tiles"))
+    }),
+
     // --- web-scale layer (synthetic pages; deterministic) ---
     "q_geotag_tiles" -> ((s, dir) => {
       val n = if (dir.contains("0.001")) 2000L else if (dir.contains("0.01")) 20000L else 200000L
@@ -499,6 +507,29 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_lang_dist" ->
       "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+    "q_sessions" ->
+      s"""WITH e AS (SELECT user_id, ts,
+         |  CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000 AS ms,
+         |  (user_id * 7 % 3600) / 10.0 - 180.0 AS x,
+         |  (user_id * 11 % 1700) / 10.0 - 85.0 AS y FROM events),
+         |t AS (SELECT user_id, ts, ms,
+         |  CAST(FLOOR((x - gxmin) / fex) AS BIGINT)
+         |    + CAST(FLOOR((y - gymin) / fey) AS BIGINT) * 872 AS tile
+         |  FROM e, $gridSql),
+         |marked AS (SELECT user_id, ms, tile,
+         |  CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms)
+         |         > 1800000 THEN 1
+         |       WHEN LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL THEN 1
+         |       ELSE 0 END AS brk
+         |  FROM t),
+         |sess AS (SELECT user_id, ms, tile,
+         |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+         |    ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM marked)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+         |  CAST(COUNT(DISTINCT tile) AS BIGINT) AS tiles
+         |FROM sess GROUP BY user_id, session_id""".stripMargin,
     "q_events_window" ->
       s"""WITH e AS (SELECT ts, user_id,
          |  (user_id * 7 % 3600) / 10.0 - 180.0 AS x,

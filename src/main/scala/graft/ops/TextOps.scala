@@ -168,14 +168,20 @@ object TextOps {
         (b, slice.foldLeft(0xcbf29ce484222325L)((h, v) => (h ^ v) * 0x100000001b3L))
       }
     }
+    // candidate generation shuffles only (band, bucket, id) — texts join in
+    // late, once per distinct candidate pair, not per bucket collision
     val banded = withSig
       .withColumn("bh", explode(bandUdf(col("sig"))))
-      .select(col("doc_id"), col("text"), col("bh._1").as("band"), col("bh._2").as("bucket"))
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"), col("text").as("ta"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"), col("text").as("tb"))
+      .select(col("doc_id"), col("bh._1").as("band"), col("bh._2").as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"))
+    val candidates = l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val texts = docs.select(col("doc_id"), col("text"))
     val jacUdf = udf { (x: String, y: String) => ngramJaccard(x, y, gram) }
-    l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("ta"), col("tb")).distinct()
+    candidates
+      .join(texts.withColumnRenamed("doc_id", "a").withColumnRenamed("text", "ta"), Seq("a"))
+      .join(texts.withColumnRenamed("doc_id", "b").withColumnRenamed("text", "tb"), Seq("b"))
       .withColumn("jaccard", jacUdf(col("ta"), col("tb")))
       .where(col("jaccard") >= tau)
       .select(col("a"), col("b"), col("jaccard"))

@@ -40,6 +40,82 @@ object StreamOps {
           floor(fj / lit(fpc)).cast("long") * grid.coarsePpd)
   }
 
+  /** A closed user session: contiguous events with gaps < the timeout. */
+  final case class UserSession(user_id: Long, n_events: Int,
+                               start_ms: Long, end_ms: Long, tiles: Int)
+
+  /** Mutable-session accumulator (Seq, not Set — Set has no Spark encoder). */
+  final case class SessionState(n: Int, startMs: Long, lastMs: Long,
+                                tiles: Seq[Long])
+
+  /**
+   * Stateful sessionization via flatMapGroupsWithState: per-user sessions
+   * close after `gapMs` of event-time inactivity; each closed session
+   * reports its event count, span, and distinct-tile count. The custom-state
+   * path of the streaming surface (KeyValueGroupedDataset + GroupState).
+   */
+  def sessionize(events: DataFrame, grid: GridConfig,
+                 gapMs: Long = 30 * 60 * 1000L): org.apache.spark.sql.Dataset[UserSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tagged = withTileColumns(geotagEvents(events), grid)
+      .select(col("user_id"), col("ts").cast("long").as("ts_s"), col("tile"))
+      .as[(Long, Long, Long)]
+
+    val streamingMode = tagged.isStreaming // plain boolean: safe to close over
+
+    def fn(user: Long, it: Iterator[(Long, Long, Long)],
+           state: GroupState[SessionState]): Iterator[UserSession] = {
+      val sorted = it.toSeq.sortBy(_._2)
+      var st = state.getOption.getOrElse(SessionState(0, -1L, -1L, Seq.empty))
+      val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+      sorted.foreach { case (_, tsS, tile) =>
+        val ms = tsS * 1000L
+        if (st.n > 0 && ms - st.lastMs > gapMs) {
+          closed += UserSession(user, st.n, st.startMs, st.lastMs, st.tiles.size)
+          st = SessionState(0, -1L, -1L, Seq.empty)
+        }
+        st =
+          if (st.n == 0) SessionState(1, ms, ms, Seq(tile))
+          else SessionState(st.n + 1, st.startMs, ms, if (st.tiles.contains(tile)) st.tiles else st.tiles :+ tile)
+      }
+      if (state.hasTimedOut) {
+        if (st.n > 0) closed += UserSession(user, st.n, st.startMs, st.lastMs, st.tiles.size)
+        state.remove()
+      } else {
+        state.update(st)
+        if (state.getOption.isDefined && streamingMode)
+          state.setTimeoutDuration(gapMs)
+      }
+      closed.iterator
+    }
+
+    if (tagged.isStreaming)
+      tagged.groupByKey(_._1).flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(fn)
+    else {
+      // batch mode: same core logic, sessions flushed at end of input
+      tagged.groupByKey(_._1).flatMapGroups { (user, it) =>
+        val sorted = it.toSeq.sortBy(_._2)
+        val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+        var st = SessionState(0, -1L, -1L, Seq.empty)
+        sorted.foreach { case (_, tsS, tile) =>
+          val ms = tsS * 1000L
+          if (st.n > 0 && ms - st.lastMs > gapMs) {
+            out += UserSession(user, st.n, st.startMs, st.lastMs, st.tiles.size)
+            st = SessionState(0, -1L, -1L, Seq.empty)
+          }
+          st =
+            if (st.n == 0) SessionState(1, ms, ms, Seq(tile))
+            else SessionState(st.n + 1, st.startMs, ms, if (st.tiles.contains(tile)) st.tiles else st.tiles :+ tile)
+        }
+        if (st.n > 0) out += UserSession(user, st.n, st.startMs, st.lastMs, st.tiles.size)
+        out.iterator
+      }
+    }
+  }
+
   /**
    * Windowed per-coarse-tile aggregation with watermarking: counts + value
    * sums per (event-time window, coarse tile). Works identically on a

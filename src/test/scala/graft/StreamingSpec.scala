@@ -47,4 +47,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamResult == batchResult,
       s"stream=${streamResult.size} rows, batch=${batchResult.size} rows")
   }
+
+  test("sessionize: batch sessions have consistent counts and spans") {
+    val grid = Pages.WorldGrid
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val sessions = StreamOps.sessionize(events, grid).collect()
+    assert(sessions.nonEmpty)
+    // every event lands in exactly one session
+    assert(sessions.map(_.n_events.toLong).sum == events.count())
+    assert(sessions.forall(s => s.end_ms >= s.start_ms && s.tiles >= 1))
+    // deterministic across runs
+    val again = StreamOps.sessionize(events, grid).collect()
+    assert(sessions.map(s => (s.user_id, s.start_ms, s.n_events)).toSet ==
+           again.map(s => (s.user_id, s.start_ms, s.n_events)).toSet)
+  }
+
+  test("sessionize runs as a streaming query with state timeout") {
+    val grid = Pages.WorldGrid
+    val batchDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val sessions = StreamOps.sessionize(
+      spark.readStream.schema(batchDf.schema).parquet(dir.toString), grid)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // streaming emits only closed sessions (open state waits for timeout);
+    // every emitted session must also exist in the batch result
+    val streamed = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = StreamOps.sessionize(batchDf, grid).collect()
+      .map(s => (s.user_id, s.n_events, s.start_ms)).toSet
+    assert(streamed.subsetOf(batch), s"streamed ${streamed.size} not in batch ${batch.size}")
+  }
 }
