@@ -352,9 +352,16 @@ object GeoEngine {
     val intersectsUdf = udf { (qg: Int, qc: Array[Double], g: Int, c: Array[Double]) =>
       Topology.intersects(Geom(qg, qc), Geom(g, c))
     }
+    // rectangular fast path: for BOX windows over POINT/BOX data the MBR
+    // overlap (already applied) IS the exact predicate — the reference's
+    // interior-tile shortcut generalized to the whole rectangular case
+    val rectangular =
+      col("qg") === GeomType.BOX &&
+      (col("gtype") === GeomType.POINT || col("gtype") === GeomType.BOX)
     dt.join(broadcast(qRows), Seq("tile"))
       .where(mbrOverlap && dedup &&
-        intersectsUdf(col("qg"), col("qc"), col("gtype"), col("coords")))
+        when(rectangular, lit(true))
+          .otherwise(intersectsUdf(col("qg"), col("qc"), col("gtype"), col("coords"))))
       .select(col("qid"), col("id"))
   }
 
