@@ -296,14 +296,28 @@ object GeoEngine {
     * in later rounds. */
   val AprilOrder = 16
 
-  /** Find-relation join: (rid, sid, relation) with the reference's TR codes. */
+  /** Find-relation join: (rid, sid, relation) with the reference's TR codes.
+    * With `useApril`, the APRIL topology intermediate filter resolves
+    * DISJOINT / CONTAINS / INSIDE / true-hit-INTERSECT pairs from interval
+    * algebra alone (the reference's MBR-case-specialized filter,
+    * src/APRIL/filter.cpp:189-223); only unresolved pairs reach the exact
+    * DE-9IM refinement. */
   def findRelationJoin(r: Dataset[GeoRow], s: Dataset[GeoRow],
-                       grid: GridConfig): DataFrame = {
-    val rt = withTiles(r, grid).select(
+                       grid: GridConfig, useApril: Boolean = false): DataFrame = {
+    // APRIL interval lists are NOT shipped through the tile explode/shuffle
+    // (they dwarf the ring coords); candidates re-join them by id from
+    // compact per-object side tables (broadcast) after candidate generation.
+    def ix(ds: Dataset[GeoRow]): DataFrame =
+      if (!useApril) ds.toDF()
+      else if (ds.toDF().columns.contains("april_all")) ds.toDF()
+      else aprilIndex(ds.toDF(), grid)
+    val rIxDf = ix(r)
+    val sIxDf = ix(s)
+    val rt = withTiles2(rIxDf, grid).select(
       col("tile"), col("id").as("rid"), col("gtype").as("rg"), col("coords").as("rc"),
       col("xmin").as("rxmin"), col("ymin").as("rymin"),
       col("xmax").as("rxmax"), col("ymax").as("rymax"))
-    val st = withTiles(s, grid).select(
+    val st = withTiles2(sIxDf, grid).select(
       col("tile"), col("id").as("sid"), col("gtype").as("sg"), col("coords").as("sc"),
       col("xmin").as("sxmin"), col("ymin").as("symin"),
       col("xmax").as("sxmax"), col("ymax").as("symax"))
@@ -320,9 +334,55 @@ object GeoEngine {
     val relUdf = udf { (rg: Int, rc: Array[Double], sg: Int, sc: Array[Double]) =>
       Topology.findRelation(Geom(rg, rc), Geom(sg, sc))
     }
-    rt.join(st, Seq("tile")).where(mbrOverlap && dedup)
-      .select(col("rid"), col("sid"),
+    val joined = rt.join(st, Seq("tile")).where(mbrOverlap && dedup)
+    if (!useApril) {
+      joined.select(col("rid"), col("sid"),
         relUdf(col("rg"), col("rc"), col("sg"), col("sc")).as("relation"))
+    } else {
+      // APRIL topology filter: -1 = unresolved (refine). Sound resolutions:
+      //   no ALL overlap            → DISJOINT (candidates can't touch)
+      //   ALL_S ⊆ FULL_R            → S strictly inside R's interior → CONTAINS
+      //   ALL_R ⊆ FULL_S            → INSIDE
+      //   interiors provably meet in the MBR_INTERSECT routing case → INTERSECT
+      // MBR routing case as a pure column (0=EQUAL, 1=S_IN_R, 2=R_IN_S,
+      // 3=INTERSECT) — mirrors relateMBRs' live branches
+      val eps = 1e-8
+      val dxmin = col("rxmin") - col("sxmin"); val dymin = col("rymin") - col("symin")
+      val dxmax = col("rxmax") - col("sxmax"); val dymax = col("rymax") - col("symax")
+      val mbrCase =
+        when(abs(dxmin) < eps && abs(dxmax) < eps && abs(dymin) < eps && abs(dymax) < eps, 0)
+          .when(dxmin <= 0 && dxmax >= 0 && dymin <= 0 && dymax >= 0, 1)
+          .when(dxmin >= 0 && dxmax <= 0 && dymin >= 0 && dymax <= 0, 2)
+          .otherwise(3)
+      val aprilRel = udf { (ra: Array[Long], rf: Array[Long],
+                            sa: Array[Long], sf: Array[Long], mc: Int) =>
+        // mc==0 (EPS-equal MBRs) never yields DISJOINT in the reference's
+        // routing (refineEqual... has no disjoint check) — defer to refine
+        if (!April.intervalsOverlap(ra, sa)) {
+          if (mc == 0) -1 else Topology.TR_DISJOINT
+        }
+        else if (April.intervalsContained(sa, rf)) Topology.TR_CONTAINS
+        else if (April.intervalsContained(ra, sf)) Topology.TR_INSIDE
+        else if (mc == 3 &&
+          (April.intervalsOverlap(rf, sa) || April.intervalsOverlap(ra, sf)))
+          // MBR_INTERSECT routing can only yield DISJOINT/MEET/INTERSECT;
+          // interiors meeting rules out the first two.
+          Topology.TR_INTERSECT
+        else -1
+      }
+      val rApril = broadcast(rIxDf.select(col("id").as("rid"),
+        col("april_all").as("ra"), col("april_full").as("rf")))
+      val sApril = broadcast(sIxDf.select(col("id").as("sid"),
+        col("april_all").as("sa"), col("april_full").as("sf")))
+      joined
+        .join(rApril, Seq("rid"))
+        .join(sApril, Seq("sid"))
+        .withColumn("april_rel", aprilRel(col("ra"), col("rf"), col("sa"), col("sf"), mbrCase))
+        .select(col("rid"), col("sid"),
+          when(col("april_rel") >= 0, col("april_rel"))
+            .otherwise(relUdf(col("rg"), col("rc"), col("sg"), col("sc")))
+            .as("relation"))
+    }
   }
 
   // ---------------------------------------------------------- range queries

@@ -326,6 +326,10 @@ object SparkEntry {
           (col("cx") - rad).as("xmin"), (col("cy") - rad).as("ymin"),
           (col("cx") + rad).as("xmax"), (col("cy") + rad).as("ymax")).as[GeoRow]
       }
+      // plain refinement path: these stars are 8-13 vertices, so exact
+      // relate is cheaper than rasterize+broadcast of degree-scale APRIL
+      // lists (the APRIL topology filter pays on vertex-heavy geometry —
+      // see ScaleBench's 3.4x and the useApril equivalence test)
       GeoEngine.findRelationJoin(polyTable("part", "p_partkey", 2.0),
         polyTable("customer", "c_custkey", 0.4), grid)
         .groupBy("relation").agg(count(lit(1)).as("n"))

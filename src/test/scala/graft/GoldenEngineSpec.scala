@@ -48,6 +48,16 @@ class GoldenEngineSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 10L), (1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L)), s"got $pairs")
   }
 
+  test("find-relation with APRIL topology filter == without (all relations)") {
+    val r = loadDs("data_sample_polygons_1.wkt", GeomType.POLYGON)
+    val s = loadDs("data_sample_polygons_2.wkt", GeomType.POLYGON)
+    val grid = GeoEngine.gridFor(GeoEngine.dataspace(r, s))
+    def rels(useApril: Boolean) =
+      GeoEngine.findRelationJoin(r, s, grid, useApril)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(rels(useApril = true) == rels(useApril = false))
+  }
+
   test("engine test3: polygons x linestrings intersection join = 0") {
     val r = loadDs("data_sample_polygons_1.wkt", GeomType.POLYGON)
     val s = loadDs("data_sample_linestrings.wkt", GeomType.LINESTRING)
