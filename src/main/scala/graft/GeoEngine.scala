@@ -313,14 +313,21 @@ object GeoEngine {
       else aprilIndex(ds.toDF(), grid)
     val rIxDf = ix(r)
     val sIxDf = ix(s)
+    // the exploded shuffle carries only ids + MBRs; geometry coords re-join
+    // by id AFTER candidate filtering (carrying coord arrays through a
+    // many-tiles-per-object explode multiplies shuffle bytes ~10x)
     val rt = withTiles2(rIxDf, grid).select(
-      col("tile"), col("id").as("rid"), col("gtype").as("rg"), col("coords").as("rc"),
+      col("tile"), col("id").as("rid"),
       col("xmin").as("rxmin"), col("ymin").as("rymin"),
       col("xmax").as("rxmax"), col("ymax").as("rymax"))
     val st = withTiles2(sIxDf, grid).select(
-      col("tile"), col("id").as("sid"), col("gtype").as("sg"), col("coords").as("sc"),
+      col("tile"), col("id").as("sid"),
       col("xmin").as("sxmin"), col("ymin").as("symin"),
       col("xmax").as("sxmax"), col("ymax").as("symax"))
+    val rGeom = rIxDf.select(col("id").as("rid"), col("gtype").as("rg"),
+      col("coords").as("rc"))
+    val sGeom = sIxDf.select(col("id").as("sid"), col("gtype").as("sg"),
+      col("coords").as("sc"))
     val mbrOverlap =
       col("rxmax") >= col("sxmin") && col("rxmin") <= col("sxmax") &&
       col("rymax") >= col("symin") && col("rymin") <= col("symax")
@@ -336,8 +343,10 @@ object GeoEngine {
     }
     val joined = rt.join(st, Seq("tile")).where(mbrOverlap && dedup)
     if (!useApril) {
-      joined.select(col("rid"), col("sid"),
-        relUdf(col("rg"), col("rc"), col("sg"), col("sc")).as("relation"))
+      joined
+        .join(rGeom, Seq("rid")).join(sGeom, Seq("sid"))
+        .select(col("rid"), col("sid"),
+          relUdf(col("rg"), col("rc"), col("sg"), col("sc")).as("relation"))
     } else {
       // APRIL topology filter: -1 = unresolved (refine). Sound resolutions:
       //   no ALL overlap            → DISJOINT (candidates can't touch)
@@ -377,6 +386,7 @@ object GeoEngine {
       joined
         .join(rApril, Seq("rid"))
         .join(sApril, Seq("sid"))
+        .join(rGeom, Seq("rid")).join(sGeom, Seq("sid"))
         .withColumn("april_rel", aprilRel(col("ra"), col("rf"), col("sa"), col("sf"), mbrCase))
         .select(col("rid"), col("sid"),
           when(col("april_rel") >= 0, col("april_rel"))

@@ -221,7 +221,7 @@ object Topology {
   private def onAnySegment(px: Double, py: Double, cs: Array[Double]): Boolean = {
     var i = 0
     while (i + 3 < cs.length) {
-      if (pointSegDistance(px, py, cs(i), cs(i + 1), cs(i + 2), cs(i + 3)) <= Tol)
+      if (pointSegDistance2(px, py, cs(i), cs(i + 1), cs(i + 2), cs(i + 3)) <= Tol2)
         return true
       i += 2
     }
@@ -245,7 +245,7 @@ object Topology {
     inside
   }
 
-  @inline private def pointSegDistance(px: Double, py: Double,
+  @inline private def pointSegDistance2(px: Double, py: Double,
       ax: Double, ay: Double, bx: Double, by: Double): Double = {
     val dx = bx - ax; val dy = by - ay
     val len2 = dx * dx + dy * dy
@@ -254,8 +254,14 @@ object Topology {
       else math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / len2))
     val qx = ax + t * dx; val qy = ay + t * dy
     val ddx = px - qx; val ddy = py - qy
-    math.sqrt(ddx * ddx + ddy * ddy)
+    ddx * ddx + ddy * ddy
   }
+
+  private val Tol2 = Tol * Tol
+
+  @inline private def pointSegDistance(px: Double, py: Double,
+      ax: Double, ay: Double, bx: Double, by: Double): Double =
+    math.sqrt(pointSegDistance2(px, py, ax, ay, bx, by))
 
   private def segSegDistance(ax: Double, ay: Double, bx: Double, by: Double,
       cx: Double, cy: Double, dx: Double, dy: Double): Double = {
@@ -277,10 +283,10 @@ object Topology {
     val d4 = cross(ax, ay, bx, by, dx, dy)
     if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
         ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) return true
-    (pointSegDistance(ax, ay, cx, cy, dx, dy) <= Tol) ||
-      (pointSegDistance(bx, by, cx, cy, dx, dy) <= Tol) ||
-      (pointSegDistance(cx, cy, ax, ay, bx, by) <= Tol) ||
-      (pointSegDistance(dx, dy, ax, ay, bx, by) <= Tol)
+    (pointSegDistance2(ax, ay, cx, cy, dx, dy) <= Tol2) ||
+      (pointSegDistance2(bx, by, cx, cy, dx, dy) <= Tol2) ||
+      (pointSegDistance2(cx, cy, ax, ay, bx, by) <= Tol2) ||
+      (pointSegDistance2(dx, dy, ax, ay, bx, by) <= Tol2)
   }
 
   /** Compute the boolean DE-9IM matrix for (a, b). */
@@ -393,10 +399,10 @@ object Topology {
           m |= contactEntry(px, py, a, b)
         } else {
           // touch / collinear: endpoints lying on the other segment
-          if (pointSegDistance(ax, ay, cx, cy, dx, dy) <= Tol) m |= contactEntry(ax, ay, a, b)
-          if (pointSegDistance(bx, by, cx, cy, dx, dy) <= Tol) m |= contactEntry(bx, by, a, b)
-          if (pointSegDistance(cx, cy, ax, ay, bx, by) <= Tol) m |= contactEntry(cx, cy, a, b)
-          if (pointSegDistance(dx, dy, ax, ay, bx, by) <= Tol) m |= contactEntry(dx, dy, a, b)
+          if (pointSegDistance2(ax, ay, cx, cy, dx, dy) <= Tol2) m |= contactEntry(ax, ay, a, b)
+          if (pointSegDistance2(bx, by, cx, cy, dx, dy) <= Tol2) m |= contactEntry(bx, by, a, b)
+          if (pointSegDistance2(cx, cy, ax, ay, bx, by) <= Tol2) m |= contactEntry(cx, cy, a, b)
+          if (pointSegDistance2(dx, dy, ax, ay, bx, by) <= Tol2) m |= contactEntry(dx, dy, a, b)
         }
         j += 2
       }
@@ -506,7 +512,7 @@ object Topology {
     // find other's segment containing (mx,my)
     var j = 0
     while (j + 3 < co.length) {
-      if (pointSegDistance(mx, my, co(j), co(j + 1), co(j + 2), co(j + 3)) <= Tol) {
+      if (pointSegDistance2(mx, my, co(j), co(j + 1), co(j + 2), co(j + 3)) <= Tol2) {
         val sameDir = (bx - ax) * (co(j + 2) - co(j)) + (by - ay) * (co(j + 3) - co(j + 1)) > 0
         // interior of a CCW ring is to the LEFT of its directed edges
         val gLeft = gCcw
@@ -537,9 +543,9 @@ object Topology {
         val u = ((cx - ax) * ry - (cy - ay) * rx) / denom
         if (t > 0 && t < 1 && u >= -1e-12 && u <= 1 + 1e-12) buf += t
       } else if (rlen2 > 0 &&
-                 (pointSegDistance(cx, cy, ax, ay, bx, by) <= Tol ||
-                  pointSegDistance(dx, dy, ax, ay, bx, by) <= Tol ||
-                  pointSegDistance(ax, ay, cx, cy, dx, dy) <= Tol)) {
+                 (pointSegDistance2(cx, cy, ax, ay, bx, by) <= Tol2 ||
+                  pointSegDistance2(dx, dy, ax, ay, bx, by) <= Tol2 ||
+                  pointSegDistance2(ax, ay, cx, cy, dx, dy) <= Tol2)) {
         // parallel + collinear overlap: split at the projections of c and d
         val tc = ((cx - ax) * rx + (cy - ay) * ry) / rlen2
         val td = ((dx - ax) * rx + (dy - ay) * ry) / rlen2
