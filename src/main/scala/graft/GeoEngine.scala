@@ -164,16 +164,28 @@ object GeoEngine {
       else aprilIndex(df, grid)
     val rIx = ix(r.toDF())
     val sIx = ix(s.toDF())
-    def side(df: DataFrame, p: String, idName: String): DataFrame = {
-      val base = withTiles2(df, grid).select(
-        (Seq(col("tile"), col("id").as(idName), col("gtype").as(p + "g"),
-          col("coords").as(p + "c"),
-          col("xmin").as(p + "xmin"), col("ymin").as(p + "ymin"),
-          col("xmax").as(p + "xmax"), col("ymax").as(p + "ymax")) ++
-          (if (useApril) Seq(col("april_all").as(p + "_april_all"),
-            col("april_full").as(p + "_april_full")) else Nil)): _*)
-      base
+    // In broadcast mode the build side ships whole (one pass, no shuffle), so
+    // payload columns ride along. In shuffle mode only (tile, id, mbr) go
+    // through the exchange; geometry/APRIL columns re-join by id afterwards
+    // (carrying arrays through a many-tiles explode multiplies shuffle bytes).
+    val slim = !broadcastS
+    def payloadCols(p: String): Seq[Column] = {
+      val geom = Seq(col("gtype").as(p + "g"), col("coords").as(p + "c"))
+      val april =
+        if (useApril) Seq(col("april_all").as(p + "_april_all"),
+          col("april_full").as(p + "_april_full"))
+        else Nil
+      geom ++ april
     }
+    def side(df: DataFrame, p: String, idName: String): DataFrame = {
+      val base = Seq(col("tile"), col("id").as(idName),
+        col("xmin").as(p + "xmin"), col("ymin").as(p + "ymin"),
+        col("xmax").as(p + "xmax"), col("ymax").as(p + "ymax"))
+      val cols = if (slim) base else base ++ payloadCols(p)
+      withTiles2(df, grid).select(cols: _*)
+    }
+    def geomTable(df: DataFrame, p: String, idName: String): DataFrame =
+      df.select((col("id").as(idName) +: payloadCols(p)): _*)
     val rt0 = side(rIx, "r", "rid")
     var st0 = side(sIx, "s", "sid")
     // hot-tile salting (shuffle joins only): probe side takes a stable salt
@@ -268,7 +280,14 @@ object GeoEngine {
       when(rectangular, rectExact)
         .otherwise(refineUdf(lit(pred), col("rg"), col("rc"), col("sg"), col("sc")))
 
-    val joined = rt.join(st, joinKeys).where(mbrOverlap && dedup)
+    val joined0 = rt.join(st, joinKeys).where(mbrOverlap && dedup)
+    // shuffle mode: attach geometry (+APRIL) payloads to the filtered
+    // candidates by id
+    val joined =
+      if (slim)
+        joined0.join(geomTable(rIx, "r", "rid"), Seq("rid"))
+          .join(geomTable(sIx, "s", "sid"), Seq("sid"))
+      else joined0
 
     val withVerdict = if (useApril) {
       val verdictUdf = udf {
