@@ -28,7 +28,7 @@ object GeoEngine {
    */
   def readWkt(spark: SparkSession, path: String, gtype: Int): Dataset[GeoRow] = {
     import spark.implicits._
-    val totalLines = countNewlines(path)
+    val totalLines = countNewlines(spark, path)
     // zipWithIndex gives the deterministic global line number (the only RDD
     // use in the engine; Spark has no lazy row-number-in-file primitive).
     spark.read.textFile(path).rdd.zipWithIndex()
@@ -39,8 +39,13 @@ object GeoEngine {
       }.toDS()
   }
 
-  private def countNewlines(path: String): Long = {
-    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(path), 1 << 20)
+  /** Newline count through the Hadoop FileSystem API so the reference's
+    * wc-l load cap works for any Spark-readable path (hdfs://, s3a://, ...),
+    * not just driver-local files. */
+  private def countNewlines(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = new java.io.BufferedInputStream(fs.open(p), 1 << 20)
     try {
       var n = 0L; var c = in.read()
       while (c != -1) { if (c == '\n') n += 1; c = in.read() }
@@ -61,6 +66,7 @@ object GeoEngine {
   def dataspace(dss: Dataset[GeoRow]*): Dataspace = {
     val bounds = dss.map { ds =>
       val r = ds.agg(min("xmin"), min("ymin"), max("xmax"), max("ymax")).head()
+      require(!r.isNullAt(0), "dataspace: empty dataset (no rows to bound)")
       Dataspace(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     }
     bounds.reduce((a, b) => Dataspace(
@@ -157,11 +163,12 @@ object GeoEngine {
   def spatialJoin(r: Dataset[GeoRow], s: Dataset[GeoRow], pred: Int,
                   grid: GridConfig, useApril: Boolean = false,
                   broadcastS: Boolean = false,
-                  saltFactor: Int = 1): DataFrame = {
+                  saltFactor: Int = 1,
+                  aprilOrder: Int = AprilOrder): DataFrame = {
     def ix(df: DataFrame): DataFrame =
       if (!useApril) df
       else if (df.columns.contains("april_all")) df // pre-indexed (buildIndex)
-      else aprilIndex(df, grid)
+      else aprilIndex(df, grid, aprilOrder)
     val rIx = ix(r.toDF())
     val sIx = ix(s.toDF())
     // In broadcast mode the build side ships whole (one pass, no shuffle), so
@@ -322,14 +329,15 @@ object GeoEngine {
     * src/APRIL/filter.cpp:189-223); only unresolved pairs reach the exact
     * DE-9IM refinement. */
   def findRelationJoin(r: Dataset[GeoRow], s: Dataset[GeoRow],
-                       grid: GridConfig, useApril: Boolean = false): DataFrame = {
+                       grid: GridConfig, useApril: Boolean = false,
+                       aprilOrder: Int = AprilOrder): DataFrame = {
     // APRIL interval lists are NOT shipped through the tile explode/shuffle
     // (they dwarf the ring coords); candidates re-join them by id from
-    // compact per-object side tables (broadcast) after candidate generation.
+    // compact per-object side tables after candidate generation.
     def ix(ds: Dataset[GeoRow]): DataFrame =
       if (!useApril) ds.toDF()
       else if (ds.toDF().columns.contains("april_all")) ds.toDF()
-      else aprilIndex(ds.toDF(), grid)
+      else aprilIndex(ds.toDF(), grid, aprilOrder)
     val rIxDf = ix(r)
     val sIxDf = ix(s)
     // the exploded shuffle carries only ids + MBRs; geometry coords re-join
@@ -398,10 +406,14 @@ object GeoEngine {
           Topology.TR_INTERSECT
         else -1
       }
-      val rApril = broadcast(rIxDf.select(col("id").as("rid"),
-        col("april_all").as("ra"), col("april_full").as("rf")))
-      val sApril = broadcast(sIxDf.select(col("id").as("sid"),
-        col("april_all").as("sa"), col("april_full").as("sf")))
+      // No broadcast hints: APRIL interval arrays scale with geometry size,
+      // so forcing either side driver-resident dies at scale (8 GB broadcast
+      // cap). These are shuffled equi-joins on id; AQE converts a genuinely
+      // small side to a broadcast at runtime.
+      val rApril = rIxDf.select(col("id").as("rid"),
+        col("april_all").as("ra"), col("april_full").as("rf"))
+      val sApril = sIxDf.select(col("id").as("sid"),
+        col("april_all").as("sa"), col("april_full").as("sf"))
       joined
         .join(rApril, Seq("rid"))
         .join(sApril, Seq("sid"))

@@ -49,7 +49,12 @@ object GraftJob {
 
     val tagged = Snapshots.runStage(spark, root, "geotagged",
       Map("stage" -> "geotag", "input" -> "pages", "app" -> version)) {
-      Pages.geotag(pages).withColumn("id", abs(hash(col("url"))).cast("long"))
+      // 64-bit ids: hash() is 32-bit Murmur3 (birthday collisions from ~1e5
+      // urls), and spatialJoin's slim-mode re-join-by-id plus snapshot
+      // lineage require unique ids — fnv64 keeps them collision-free at the
+      // 1e12-row north rule.
+      val id64 = udf { (u: String) => graft.ops.TextOps.fnv64(u) }
+      Pages.geotag(pages).withColumn("id", id64(col("url")))
         .select("id", "url", "x", "y")
     }
 

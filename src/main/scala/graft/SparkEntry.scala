@@ -150,6 +150,67 @@ object SparkEntry {
       |  ((p_partkey * 17 % 1280) / 8.0 - 80.0)  + ((p_partkey % 30 + 2) / 8.0) AS bymax
       |FROM part""".stripMargin
 
+  /** Points on the exact 1/8° dyadic lattice: every coordinate, difference
+    * and small product is an exact double, so collinearity / diamond-edge
+    * boundary tests agree bit-for-bit between the engine's kernels and the
+    * DuckDB oracle's formulas. */
+  private def orderPoints8(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet").select(
+      col("o_orderkey").as("id"),
+      ((col("o_orderkey") * 7 % 2880) / 8.0 - 180.0).as("x"),
+      ((col("o_orderkey") * 11 % 1360) / 8.0 - 85.0).as("y"))
+
+  private val orderPoints8Sql =
+    """SELECT o_orderkey AS id,
+      |  (o_orderkey * 7 % 2880) / 8.0 - 180.0 AS x,
+      |  (o_orderkey * 11 % 1360) / 8.0 - 85.0 AS y
+      |FROM orders""".stripMargin
+
+  /** Slope-1 diagonal segments from part: MBRs are fat but the geometry is a
+    * line, so MBR-overlapping points are almost all geometry-disjoint — the
+    * reference's tile-local DISJOINT-join semantics become observable. */
+  private def diagSegs(s: SparkSession, dir: String): DataFrame = {
+    val cx = (col("p_partkey") * 13 % 2800) / 8.0 - 175.0
+    val cy = (col("p_partkey") * 17 % 1280) / 8.0 - 80.0
+    val h = (col("p_partkey") % 20 + 2) / 8.0
+    s.read.parquet(s"$dir/part.parquet").select(
+      col("p_partkey").as("id"),
+      (cx - h).as("x1"), (cy - h).as("y1"), (cx + h).as("x2"), (cy + h).as("y2"))
+  }
+
+  private val diagSegsSql =
+    """SELECT p_partkey AS id,
+      |  ((p_partkey * 13 % 2800) / 8.0 - 175.0) - ((p_partkey % 20 + 2) / 8.0) AS x1,
+      |  ((p_partkey * 17 % 1280) / 8.0 - 80.0)  - ((p_partkey % 20 + 2) / 8.0) AS y1,
+      |  ((p_partkey * 13 % 2800) / 8.0 - 175.0) + ((p_partkey % 20 + 2) / 8.0) AS x2,
+      |  ((p_partkey * 17 % 1280) / 8.0 - 80.0)  + ((p_partkey % 20 + 2) / 8.0) AS y2
+      |FROM part""".stripMargin
+
+  /** Diamond (rotated-square) polygons from part: point-in-diamond is
+    * SQL-expressible exactly (|x-cx|*hh + |y-cy|*hw <= hw*hh on dyadic
+    * lattices), yet NOT rectangular — the APRIL interval verdicts and the
+    * exact PiP refinement both run for real. */
+  private def diamonds(s: SparkSession, dir: String)(implicit sp: SparkSession): Dataset[GeoRow] = {
+    import sp.implicits._
+    val cx = (col("p_partkey") * 13 % 2800) / 8.0 - 175.0
+    val cy = (col("p_partkey") * 17 % 1280) / 8.0 - 80.0
+    val hw = (col("p_partkey") % 40 + 2) / 8.0
+    val hh = (col("p_partkey") % 30 + 2) / 8.0
+    s.read.parquet(s"$dir/part.parquet").select(
+      col("p_partkey").as("id"), lit(GeomType.POLYGON).as("gtype"),
+      array(cx - hw, cy, cx, cy - hh, cx + hw, cy, cx, cy + hh, cx - hw, cy).as("coords"),
+      (cx - hw).as("xmin"), (cy - hh).as("ymin"),
+      (cx + hw).as("xmax"), (cy + hh).as("ymax")).as[GeoRow]
+  }
+
+  private val diamondsSql = // (cx, cy, hw, hh) of each diamond
+    """SELECT p_partkey AS id,
+      |  (p_partkey * 13 % 2800) / 8.0 - 175.0 AS cx,
+      |  (p_partkey * 17 % 1280) / 8.0 - 80.0 AS cy,
+      |  (p_partkey % 40 + 2) / 8.0 AS hw,
+      |  (p_partkey % 30 + 2) / 8.0 AS hh
+      |FROM part""".stripMargin
+
   private def docPoints(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet").select(
       col("doc_id").as("id"),
@@ -174,6 +235,14 @@ object SparkEntry {
             col("bxmin"), col("bymin")).as("coords"),
       col("bxmin").as("xmin"), col("bymin").as("ymin"),
       col("bxmax").as("xmax"), col("bymax").as("ymax")).as[GeoRow]
+  }
+
+  private def segsGeo(df: DataFrame)(implicit s: SparkSession): Dataset[GeoRow] = {
+    import s.implicits._
+    df.select(col("id"), lit(GeomType.LINESTRING).as("gtype"),
+      array(col("x1"), col("y1"), col("x2"), col("y2")).as("coords"),
+      col("x1").as("xmin"), col("y1").as("ymin"),
+      col("x2").as("xmax"), col("y2").as("ymax")).as[GeoRow]
   }
 
   // ---- flagship -----------------------------------------------------------
@@ -226,6 +295,42 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       GeoEngine.findRelationJoin(boxesGeo(partBoxes(s, dir)),
         boxesGeo(custBoxes(s, dir)), grid)
+    }),
+    "q_contains_join" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      GeoEngine.spatialJoin(boxesGeo(partBoxes(s, dir)),
+        boxesGeo(smallBoxes(s, dir)), Predicates.CONTAINS, grid)
+    }),
+    "q_covers_join" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      GeoEngine.spatialJoin(boxesGeo(partBoxes(s, dir)),
+        boxesGeo(smallBoxes(s, dir)), Predicates.COVERS, grid)
+    }),
+    "q_covered_by_join" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      GeoEngine.spatialJoin(boxesGeo(smallBoxes(s, dir)),
+        boxesGeo(partBoxes(s, dir)), Predicates.COVERED_BY, grid)
+    }),
+    // tile-local DISJOINT: MBR-overlapping candidates whose geometries are
+    // disjoint (points off a diagonal segment) — the reference's documented
+    // common-tile semantics, SURVEY §2.4 caveat
+    "q_disjoint_join" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      GeoEngine.spatialJoin(pointsGeo(orderPoints8(s, dir)),
+        segsGeo(diagSegs(s, dir)), Predicates.DISJOINT, grid)
+    }),
+    // APRIL-path oracles: the interval verdicts run for real (non-rectangular
+    // geometry), inconclusive pairs fall through to exact refinement
+    "q_pip_join_april" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      GeoEngine.spatialJoin(pointsGeo(orderPoints8(s, dir)),
+        diamonds(s, dir), Predicates.INTERSECTS, grid,
+        useApril = true, aprilOrder = 10)
+    }),
+    "q_find_relation_april" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      GeoEngine.findRelationJoin(boxesGeo(partBoxes(s, dir)),
+        boxesGeo(custBoxes(s, dir)), grid, useApril = true, aprilOrder = 10)
     }),
     "q_distance_join" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -397,8 +502,9 @@ object SparkEntry {
     }),
     "q_media_features" -> ((s, dir) => {
       val n = if (dir.contains("0.001")) 500L else 2000L
+      val id64 = udf { (u: String) => TextOps.fnv64(u) }
       val pages = Pages.synthesize(s, n).toDF()
-        .withColumn("doc_id", abs(hash(col("url"))).cast("long"))
+        .withColumn("doc_id", id64(col("url")))
       Multimodal.extractFeatures(s, Multimodal.withMeta(pages, "html", "image"),
         "html", "image", dims = 16)
         .select(col("doc_id"), col("kind"), col("frames"))
@@ -456,6 +562,46 @@ object SparkEntry {
          |  AND (r.bxmin = s.bxmax OR r.bxmax = s.bxmin
          |    OR r.bymin = s.bymax OR r.bymax = s.bymin)""".stripMargin,
     "q_find_relation" ->
+      s"""WITH r AS ($partBoxesSql), s AS ($custBoxesSql)
+         |SELECT r.id AS rid, s.id AS sid,
+         |  CASE
+         |    WHEN r.bxmin = s.bxmin AND r.bxmax = s.bxmax
+         |     AND r.bymin = s.bymin AND r.bymax = s.bymax THEN 6
+         |    WHEN r.bxmin <= s.bxmin AND r.bxmax >= s.bxmax
+         |     AND r.bymin <= s.bymin AND r.bymax >= s.bymax THEN 3
+         |    WHEN r.bxmin >= s.bxmin AND r.bxmax <= s.bxmax
+         |     AND r.bymin >= s.bymin AND r.bymax <= s.bymax THEN 2
+         |    WHEN r.bxmin = s.bxmax OR r.bxmax = s.bxmin
+         |      OR r.bymin = s.bymax OR r.bymax = s.bymin THEN 7
+         |    ELSE 1 END AS relation
+         |FROM r, s
+         |WHERE r.bxmin <= s.bxmax AND r.bxmax >= s.bxmin
+         |  AND r.bymin <= s.bymax AND r.bymax >= s.bymin""".stripMargin,
+    "q_contains_join" ->
+      s"""WITH r AS ($partBoxesSql), s AS ($smallBoxesSql)
+         |SELECT r.id AS rid, s.id AS sid FROM r, s
+         |WHERE s.bxmin >= r.bxmin AND s.bxmax <= r.bxmax
+         |  AND s.bymin >= r.bymin AND s.bymax <= r.bymax""".stripMargin,
+    "q_covers_join" ->
+      s"""WITH r AS ($partBoxesSql), s AS ($smallBoxesSql)
+         |SELECT r.id AS rid, s.id AS sid FROM r, s
+         |WHERE s.bxmin >= r.bxmin AND s.bxmax <= r.bxmax
+         |  AND s.bymin >= r.bymin AND s.bymax <= r.bymax""".stripMargin,
+    "q_covered_by_join" ->
+      s"""WITH r AS ($smallBoxesSql), s AS ($partBoxesSql)
+         |SELECT r.id AS rid, s.id AS sid FROM r, s
+         |WHERE r.bxmin >= s.bxmin AND r.bxmax <= s.bxmax
+         |  AND r.bymin >= s.bymin AND r.bymax <= s.bymax""".stripMargin,
+    "q_disjoint_join" ->
+      s"""WITH p AS ($orderPoints8Sql), g AS ($diagSegsSql)
+         |SELECT p.id AS rid, g.id AS sid FROM p, g
+         |WHERE p.x >= g.x1 AND p.x <= g.x2 AND p.y >= g.y1 AND p.y <= g.y2
+         |  AND NOT ((g.x2 - g.x1) * (p.y - g.y1) = (g.y2 - g.y1) * (p.x - g.x1))""".stripMargin,
+    "q_pip_join_april" ->
+      s"""WITH p AS ($orderPoints8Sql), d AS ($diamondsSql)
+         |SELECT p.id AS rid, d.id AS sid FROM p, d
+         |WHERE ABS(p.x - d.cx) * d.hh + ABS(p.y - d.cy) * d.hw <= d.hw * d.hh""".stripMargin,
+    "q_find_relation_april" ->
       s"""WITH r AS ($partBoxesSql), s AS ($custBoxesSql)
          |SELECT r.id AS rid, s.id AS sid,
          |  CASE

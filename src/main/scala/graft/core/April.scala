@@ -216,7 +216,12 @@ object April {
       else if (intervalsContained(s.all, r.full)) TRUE_HIT
       else INCONCLUSIVE
     case Predicates.EQUAL =>
-      if (!intervalsEqual(r.all, s.all)) TRUE_NEGATIVE
+      // Only the provably-order-independent negative: no A-overlap means the
+      // geometries are disjoint, hence unequal. Mere A-list inequality is NOT
+      // sound here (our rasterizer does not canonicalize ring orientation, so
+      // a geometrically equal pair could raster to different lists near FP
+      // corner ties) — those pairs go to exact refinement instead.
+      if (!intervalsOverlap(r.all, s.all)) TRUE_NEGATIVE
       else INCONCLUSIVE
     case Predicates.MEET =>
       if (!intervalsOverlap(r.all, s.all)) TRUE_NEGATIVE
