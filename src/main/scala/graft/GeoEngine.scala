@@ -89,20 +89,143 @@ object GeoEngine {
   /** Tile explode for any DataFrame carrying (gtype, xmin, ymin, xmax, ymax).
     * Pure Catalyst expressions (sequence/transform/flatten) — no UDF, the
     * cover generation stays inside whole-stage codegen. */
-  def withTiles2(df: DataFrame, grid: GridConfig): DataFrame = {
-    def clampI(c: Column, ext: Double, lo: Double): Column =
-      least(greatest(floor((c - lit(lo)) / lit(ext)).cast("long"), lit(0L)),
-        lit(grid.globalPpd - 1L))
-    val iMin = clampI(col("xmin"), grid.fineExtX, grid.xMin)
-    val iMax = clampI(col("xmax"), grid.fineExtX, grid.xMin)
-    val jMin = clampI(col("ymin"), grid.fineExtY, grid.yMin)
-    val jMax = clampI(col("ymax"), grid.fineExtY, grid.yMin)
-    val ppd = lit(grid.globalPpd.toLong)
+  def withTiles2(df: DataFrame, grid: GridConfig): DataFrame =
+    explodeCover(df, grid.fineExtX, grid.fineExtY, grid.xMin, grid.yMin,
+      grid.globalPpd)
+
+  private def clampIdx(c: Column, ext: Double, lo: Double, ppd: Int): Column =
+    least(greatest(floor((c - lit(lo)) / lit(ext)).cast("long"), lit(0L)),
+      lit(ppd - 1L))
+
+  /** Explode by the MBR's cell cover at an arbitrary granularity (fine or
+    * coarse grid); points take the single-cell fast path. */
+  private def explodeCover(df: DataFrame, extX: Double, extY: Double,
+                           lox: Double, loy: Double, ppd: Int): DataFrame = {
+    val iMin = clampIdx(col("xmin"), extX, lox, ppd)
+    val iMax = clampIdx(col("xmax"), extX, lox, ppd)
+    val jMin = clampIdx(col("ymin"), extY, loy, ppd)
+    val jMax = clampIdx(col("ymax"), extY, loy, ppd)
+    val p = lit(ppd.toLong)
     val cover = flatten(transform(sequence(jMin, jMax),
-      j => transform(sequence(iMin, iMax), i => i + j * ppd)))
-    val single = array(iMin + jMin * ppd)
+      j => transform(sequence(iMin, iMax), i => i + j * p)))
+    val single = array(iMin + jMin * p)
     df.withColumn("tile",
       explode(when(col("gtype") === GeomType.POINT, single).otherwise(cover)))
+  }
+
+  /** Fine-grid cell count of the row's MBR cover (pre-explode). */
+  private def fineCoverCnt(grid: GridConfig): Column = {
+    val iMin = clampIdx(col("xmin"), grid.fineExtX, grid.xMin, grid.globalPpd)
+    val iMax = clampIdx(col("xmax"), grid.fineExtX, grid.xMin, grid.globalPpd)
+    val jMin = clampIdx(col("ymin"), grid.fineExtY, grid.yMin, grid.globalPpd)
+    val jMax = clampIdx(col("ymax"), grid.fineExtY, grid.yMin, grid.globalPpd)
+    (iMax - iMin + lit(1L)) * (jMax - jMin + lit(1L))
+  }
+
+  /** Per-side dispatch prepass (the reference's BaseIndex::evaluateQuery
+    * chooser analogue): one column-pruned scan answering (hasWide,
+    * hasNonRect, hasNonBox) so the join planner can drop the sub-plans that
+    * cannot produce rows (coarse-level joins, geometry re-join + refinement
+    * UDF) instead of shuffling for them. */
+  private def sideStats(df: DataFrame, grid: GridConfig,
+                        maxFineCover: Int): (Boolean, Boolean, Boolean) = {
+    val wide = fineCoverCnt(grid) > maxFineCover
+    val nonRect = col("gtype") === GeomType.LINESTRING ||
+      col("gtype") === GeomType.POLYGON
+    val nonBox = col("gtype") =!= GeomType.BOX
+    def flag(c: Column) = coalesce(max(when(c, 1).otherwise(0)), lit(0))
+    val row = df.agg(flag(wide), flag(nonRect), flag(nonBox)).head()
+    (row.getInt(0) == 1, row.getInt(1) == 1, row.getInt(2) == 1)
+  }
+
+  /**
+   * Exactly-once MBR-overlapping candidate pairs via multi-resolution
+   * tiling. Objects whose fine-tile cover exceeds `maxFineCover` cells are
+   * assigned at the coarse (distribution) grid instead — the reference's
+   * two-grid intent (containers.h:1722-1874) — so a wide object ships
+   * O(coarse cells) copies through the shuffle instead of O(fine tiles)
+   * (a 5°-wide box on the 872² world grid covers ~500 fine tiles but ≤ 8
+   * coarse cells; the explode amplification is what dies first at 100 TB).
+   *
+   * Three disjoint sub-joins (by the per-object level pair) union to the
+   * full candidate set, each deduped by the reference-point rule at its own
+   * join granularity:
+   *   narrowR ⋈fine narrowS   |  allR ⋈coarse wideS  |  wideR ⋈coarse narrowS
+   * A pair's levels are fixed functions of its MBRs, so it appears in
+   * exactly one sub-join, exactly once. Sub-joins whose wide side is empty
+   * (per `rHasWide`/`sHasWide`) are dropped from the plan entirely.
+   *
+   * Output columns: rid, sid, rg, sg, r/s MBRs (+ caller payload columns in
+   * broadcast mode). In slim (shuffle) mode only ids+gtype+MBRs cross the
+   * exchange; geometry/APRIL re-join by id downstream.
+   */
+  private def mrCandidates(rIx: DataFrame, sIx: DataFrame, grid: GridConfig,
+      broadcastS: Boolean, saltFactor: Int, maxFineCover: Int,
+      rHasWide: Boolean, sHasWide: Boolean,
+      payload: String => Seq[Column]): DataFrame = {
+    val slim = !broadcastS
+    val wide = fineCoverCnt(grid) > maxFineCover
+
+    def side(df: DataFrame, p: String, idName: String, fine: Boolean,
+             sel: Int /* -1 narrow, 0 all, 1 wide */): DataFrame = {
+      val filtered = sel match {
+        case -1 => df.where(!wide)
+        case 1  => df.where(wide)
+        case _  => df
+      }
+      val exploded =
+        if (fine) explodeCover(filtered, grid.fineExtX, grid.fineExtY,
+          grid.xMin, grid.yMin, grid.globalPpd)
+        else explodeCover(filtered, grid.coarseExtX, grid.coarseExtY,
+          grid.xMin, grid.yMin, grid.coarsePpd)
+      val base = Seq(col("tile"), col("id").as(idName), col("gtype").as(p + "g"),
+        col("xmin").as(p + "xmin"), col("ymin").as(p + "ymin"),
+        col("xmax").as(p + "xmax"), col("ymax").as(p + "ymax"))
+      exploded.select((if (slim) base else base ++ payload(p)): _*)
+    }
+
+    val mbrOverlap =
+      col("rxmax") >= col("sxmin") && col("rxmin") <= col("sxmax") &&
+      col("rymax") >= col("symin") && col("rymin") <= col("symax")
+
+    // hot-tile salting (shuffle joins only): probe side takes a stable salt
+    // from its id, build side replicates saltFactor ways. AQE skew-split
+    // handles the moderate case; explicit salting is for the 10^12-row
+    // hot-spot regime.
+    def subJoin(rt0: DataFrame, st0: DataFrame,
+                extX: Double, extY: Double, ppd: Int): DataFrame = {
+      val salted = saltFactor > 1 && !broadcastS
+      val rt = if (salted)
+        rt0.withColumn("salt", pmod(hash(col("rid")), lit(saltFactor))) else rt0
+      val st1 = if (salted)
+        st0.withColumn("salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+      else st0
+      val st = if (broadcastS) broadcast(st1) else st1
+      val keys = if (salted) Seq("tile", "salt") else Seq("tile")
+      // reference-point dedup at this join's granularity: the pair is kept
+      // only in the cell owning the MBR intersection's min corner
+      val refI = clampIdx(greatest(col("rxmin"), col("sxmin")), extX, grid.xMin, ppd)
+      val refJ = clampIdx(greatest(col("rymin"), col("symin")), extY, grid.yMin, ppd)
+      val dedup = (refI + refJ * lit(ppd.toLong)) === col("tile")
+      rt.join(st, keys).where(mbrOverlap && dedup).drop("tile", "salt")
+    }
+
+    val fineJoin = subJoin(
+      side(rIx, "r", "rid", fine = true, -1),
+      side(sIx, "s", "sid", fine = true, -1),
+      grid.fineExtX, grid.fineExtY, grid.globalPpd)
+    val parts = Seq(
+      Some(fineJoin),
+      if (sHasWide) Some(subJoin(
+        side(rIx, "r", "rid", fine = false, 0),
+        side(sIx, "s", "sid", fine = false, 1),
+        grid.coarseExtX, grid.coarseExtY, grid.coarsePpd)) else None,
+      if (rHasWide) Some(subJoin(
+        side(rIx, "r", "rid", fine = false, 1),
+        side(sIx, "s", "sid", fine = false, -1),
+        grid.coarseExtX, grid.coarseExtY, grid.coarsePpd)) else None
+    ).flatten
+    parts.reduce(_ unionByName _)
   }
 
   /**
@@ -164,7 +287,8 @@ object GeoEngine {
                   grid: GridConfig, useApril: Boolean = false,
                   broadcastS: Boolean = false,
                   saltFactor: Int = 1,
-                  aprilOrder: Int = AprilOrder): DataFrame = {
+                  aprilOrder: Int = AprilOrder,
+                  maxFineCover: Int = 16): DataFrame = {
     def ix(df: DataFrame): DataFrame =
       if (!useApril) df
       else if (df.columns.contains("april_all")) df // pre-indexed (buildIndex)
@@ -172,55 +296,27 @@ object GeoEngine {
     val rIx = ix(r.toDF())
     val sIx = ix(s.toDF())
     // In broadcast mode the build side ships whole (one pass, no shuffle), so
-    // payload columns ride along. In shuffle mode only (tile, id, mbr) go
-    // through the exchange; geometry/APRIL columns re-join by id afterwards
+    // payload columns ride along. In shuffle mode only (tile, id, gtype, mbr)
+    // go through the exchange; geometry/APRIL columns re-join by id afterwards
     // (carrying arrays through a many-tiles explode multiplies shuffle bytes).
     val slim = !broadcastS
     def payloadCols(p: String): Seq[Column] = {
-      val geom = Seq(col("gtype").as(p + "g"), col("coords").as(p + "c"))
+      val geom = Seq(col("coords").as(p + "c"))
       val april =
         if (useApril) Seq(col("april_all").as(p + "_april_all"),
           col("april_full").as(p + "_april_full"))
         else Nil
       geom ++ april
     }
-    def side(df: DataFrame, p: String, idName: String): DataFrame = {
-      val base = Seq(col("tile"), col("id").as(idName),
-        col("xmin").as(p + "xmin"), col("ymin").as(p + "ymin"),
-        col("xmax").as(p + "xmax"), col("ymax").as(p + "ymax"))
-      val cols = if (slim) base else base ++ payloadCols(p)
-      withTiles2(df, grid).select(cols: _*)
-    }
     def geomTable(df: DataFrame, p: String, idName: String): DataFrame =
       df.select((col("id").as(idName) +: payloadCols(p)): _*)
-    val rt0 = side(rIx, "r", "rid")
-    var st0 = side(sIx, "s", "sid")
-    // hot-tile salting (shuffle joins only): probe side takes a stable salt
-    // from its id, build side replicates saltFactor ways — a hot tile's rows
-    // spread over saltFactor shuffle partitions. AQE skew-split handles the
-    // moderate case; explicit salting is for the 10^12-row hot-spot regime.
-    val salted = saltFactor > 1 && !broadcastS
-    val rt = if (salted)
-      rt0.withColumn("salt", pmod(hash(col("rid")), lit(saltFactor))) else rt0
-    if (salted)
-      st0 = st0.withColumn("salt",
-        explode(sequence(lit(0), lit(saltFactor - 1))))
-    val st = if (broadcastS) broadcast(st0) else st0
-    val joinKeys = if (salted) Seq("tile", "salt") else Seq("tile")
 
-    val mbrOverlap =
-      col("rxmax") >= col("sxmin") && col("rxmin") <= col("sxmax") &&
-      col("rymax") >= col("symin") && col("rymin") <= col("symax")
+    val (rHasWide, rNonRect, _) = sideStats(rIx, grid, maxFineCover)
+    val (sHasWide, sNonRect, _) = sideStats(sIx, grid, maxFineCover)
+    val anyNonRect = rNonRect || sNonRect
 
-    // reference-point dedup as a pure column expression (codegen):
-    // the pair is kept only in the tile owning the intersection's min corner
-    val refI = least(greatest(
-      floor((greatest(col("rxmin"), col("sxmin")) - lit(grid.xMin)) / lit(grid.fineExtX)).cast("long"),
-      lit(0L)), lit(grid.globalPpd - 1L))
-    val refJ = least(greatest(
-      floor((greatest(col("rymin"), col("symin")) - lit(grid.yMin)) / lit(grid.fineExtY)).cast("long"),
-      lit(0L)), lit(grid.globalPpd - 1L))
-    val dedup = (refI + refJ * grid.globalPpd) === col("tile")
+    val cands = mrCandidates(rIx, sIx, grid, broadcastS, saltFactor,
+      maxFineCover, rHasWide, sHasWide, if (slim) _ => Nil else payloadCols)
 
     val refineUdf = udf {
       (p: Int, rg: Int, rc: Array[Double], sg: Int, sc: Array[Double]) =>
@@ -283,37 +379,39 @@ object GeoEngine {
           .otherwise(facingEdge) // boundary-only contact given closed overlap
       case _ => lit(false)
     }
-    def exactPredicate: Column =
-      when(rectangular, rectExact)
-        .otherwise(refineUdf(lit(pred), col("rg"), col("rc"), col("sg"), col("sc")))
-
-    val joined0 = rt.join(st, joinKeys).where(mbrOverlap && dedup)
-    // shuffle mode: attach geometry (+APRIL) payloads to the filtered
-    // candidates by id
-    val joined =
-      if (slim)
-        joined0.join(geomTable(rIx, "r", "rid"), Seq("rid"))
-          .join(geomTable(sIx, "s", "sid"), Seq("sid"))
-      else joined0
-
-    val withVerdict = if (useApril) {
-      val verdictUdf = udf {
-        (p: Int, ra: Array[Long], rf: Array[Long], sa: Array[Long], sf: Array[Long]) =>
-          April.verdict(p, April.Approx(ra, rf), April.Approx(sa, sf))
-      }
-      joined
-        .withColumn("verdict",
-          when(rectangular,
-            when(rectExact, April.TRUE_HIT).otherwise(April.TRUE_NEGATIVE))
-            .otherwise(verdictUdf(lit(pred),
-              col("r_april_all"), col("r_april_full"),
-              col("s_april_all"), col("s_april_full"))))
-        .where(col("verdict") === April.TRUE_HIT ||
-          (col("verdict") === April.INCONCLUSIVE && exactPredicate))
+    // Candidate split: rectangular (POINT/BOX × POINT/BOX) pairs resolve from
+    // MBR columns alone — no geometry payload, no UDF, pure codegen. Only
+    // non-rectangular pairs pay the geometry (+APRIL) re-join and refinement;
+    // when the dispatch prepass proves no such pair can exist, that whole
+    // sub-plan is dropped (a box workload never touches coords at all).
+    val rectPairs = cands.where(rectangular && rectExact)
+      .select(col("rid"), col("sid"))
+    if (!anyNonRect) {
+      rectPairs
     } else {
-      joined.where(exactPredicate)
+      val nonRect0 = cands.where(!rectangular)
+      val nonRect =
+        if (slim)
+          nonRect0.join(geomTable(rIx, "r", "rid"), Seq("rid"))
+            .join(geomTable(sIx, "s", "sid"), Seq("sid"))
+        else nonRect0
+      val refined = if (useApril) {
+        val verdictUdf = udf {
+          (p: Int, ra: Array[Long], rf: Array[Long], sa: Array[Long], sf: Array[Long]) =>
+            April.verdict(p, April.Approx(ra, rf), April.Approx(sa, sf))
+        }
+        nonRect
+          .withColumn("verdict", verdictUdf(lit(pred),
+            col("r_april_all"), col("r_april_full"),
+            col("s_april_all"), col("s_april_full")))
+          .where(col("verdict") === April.TRUE_HIT ||
+            (col("verdict") === April.INCONCLUSIVE &&
+              refineUdf(lit(pred), col("rg"), col("rc"), col("sg"), col("sc"))))
+      } else {
+        nonRect.where(refineUdf(lit(pred), col("rg"), col("rc"), col("sg"), col("sc")))
+      }
+      rectPairs.unionByName(refined.select(col("rid"), col("sid")))
     }
-    withVerdict.select(col("rid"), col("sid"))
   }
 
   /** APRIL Hilbert order N (config_cluster.ini [APRIL] N=16). Per-pair
@@ -330,7 +428,9 @@ object GeoEngine {
     * DE-9IM refinement. */
   def findRelationJoin(r: Dataset[GeoRow], s: Dataset[GeoRow],
                        grid: GridConfig, useApril: Boolean = false,
-                       aprilOrder: Int = AprilOrder): DataFrame = {
+                       aprilOrder: Int = AprilOrder,
+                       saltFactor: Int = 1,
+                       maxFineCover: Int = 16): DataFrame = {
     // APRIL interval lists are NOT shipped through the tile explode/shuffle
     // (they dwarf the ring coords); candidates re-join them by id from
     // compact per-object side tables after candidate generation.
@@ -340,40 +440,60 @@ object GeoEngine {
       else aprilIndex(ds.toDF(), grid, aprilOrder)
     val rIxDf = ix(r)
     val sIxDf = ix(s)
-    // the exploded shuffle carries only ids + MBRs; geometry coords re-join
-    // by id AFTER candidate filtering (carrying coord arrays through a
-    // many-tiles-per-object explode multiplies shuffle bytes ~10x)
-    val rt = withTiles2(rIxDf, grid).select(
-      col("tile"), col("id").as("rid"),
-      col("xmin").as("rxmin"), col("ymin").as("rymin"),
-      col("xmax").as("rxmax"), col("ymax").as("rymax"))
-    val st = withTiles2(sIxDf, grid).select(
-      col("tile"), col("id").as("sid"),
-      col("xmin").as("sxmin"), col("ymin").as("symin"),
-      col("xmax").as("sxmax"), col("ymax").as("symax"))
-    val rGeom = rIxDf.select(col("id").as("rid"), col("gtype").as("rg"),
-      col("coords").as("rc"))
-    val sGeom = sIxDf.select(col("id").as("sid"), col("gtype").as("sg"),
-      col("coords").as("sc"))
-    val mbrOverlap =
-      col("rxmax") >= col("sxmin") && col("rxmin") <= col("sxmax") &&
-      col("rymax") >= col("symin") && col("rymin") <= col("symax")
-    val refI = least(greatest(
-      floor((greatest(col("rxmin"), col("sxmin")) - lit(grid.xMin)) / lit(grid.fineExtX)).cast("long"),
-      lit(0L)), lit(grid.globalPpd - 1L))
-    val refJ = least(greatest(
-      floor((greatest(col("rymin"), col("symin")) - lit(grid.yMin)) / lit(grid.fineExtY)).cast("long"),
-      lit(0L)), lit(grid.globalPpd - 1L))
-    val dedup = (refI + refJ * grid.globalPpd) === col("tile")
+    val (rHasWide, _, rNonBox) = sideStats(rIxDf, grid, maxFineCover)
+    val (sHasWide, _, sNonBox) = sideStats(sIxDf, grid, maxFineCover)
+    val anyNonBox = rNonBox || sNonBox
+    val cands = mrCandidates(rIxDf, sIxDf, grid, broadcastS = false,
+      saltFactor, maxFineCover, rHasWide, sHasWide, _ => Nil)
+    val rGeom = rIxDf.select(col("id").as("rid"), col("coords").as("rc"))
+    val sGeom = sIxDf.select(col("id").as("sid"), col("coords").as("sc"))
     val relUdf = udf { (rg: Int, rc: Array[Double], sg: Int, sc: Array[Double]) =>
       Topology.findRelation(Geom(rg, rc), Geom(sg, sc))
     }
-    val joined = rt.join(st, Seq("tile")).where(mbrOverlap && dedup)
+
+    // Box×box fast path: the reference's MBR-case routing + per-case refine
+    // priority (Topology.findRelation) collapses to pure column arithmetic
+    // when geometry == MBR — no coords join, no UDF, stays in codegen.
+    val eps = 1e-8
+    val dxmin = col("rxmin") - col("sxmin"); val dymin = col("rymin") - col("symin")
+    val dxmax = col("rxmax") - col("sxmax"); val dymax = col("rymax") - col("symax")
+    val coordsEqual =
+      col("rxmin") === col("sxmin") && col("rymin") === col("symin") &&
+      col("rxmax") === col("sxmax") && col("rymax") === col("symax")
+    val mbrEqualEps =
+      abs(dxmin) < eps && abs(dxmax) < eps && abs(dymin) < eps && abs(dymax) < eps
+    val sInR =
+      col("sxmin") >= col("rxmin") && col("sxmax") <= col("rxmax") &&
+      col("symin") >= col("rymin") && col("symax") <= col("rymax")
+    val rInS =
+      col("rxmin") >= col("sxmin") && col("rxmax") <= col("sxmax") &&
+      col("rymin") >= col("symin") && col("rymax") <= col("symax")
+    val facingEdge =
+      col("rxmin") === col("sxmax") || col("rxmax") === col("sxmin") ||
+      col("rymin") === col("symax") || col("rymax") === col("symin")
+    val boxRel =
+      when(coordsEqual, Topology.TR_EQUAL)
+        // MBR_EQUAL routing checks covers/covered_by without a meet branch
+        .when(mbrEqualEps, when(sInR, Topology.TR_CONTAINS)
+          .when(rInS, Topology.TR_INSIDE)
+          .otherwise(Topology.TR_INTERSECT))
+        // containment routings: for non-degenerate boxes covers ⇒ contains
+        .when(dxmin <= 0 && dxmax >= 0 && dymin <= 0 && dymax >= 0, Topology.TR_CONTAINS)
+        .when(dxmin >= 0 && dxmax <= 0 && dymin >= 0 && dymax <= 0, Topology.TR_INSIDE)
+        // MBR_INTERSECT routing: boundary-only contact ⇔ a facing edge
+        .when(facingEdge, Topology.TR_MEET)
+        .otherwise(Topology.TR_INTERSECT)
+    val bothBox = col("rg") === GeomType.BOX && col("sg") === GeomType.BOX
+
     if (!useApril) {
-      joined
-        .join(rGeom, Seq("rid")).join(sGeom, Seq("sid"))
-        .select(col("rid"), col("sid"),
-          relUdf(col("rg"), col("rc"), col("sg"), col("sc")).as("relation"))
+      val rect = cands.where(bothBox)
+        .select(col("rid"), col("sid"), boxRel.as("relation"))
+      if (!anyNonBox) rect
+      else rect.unionByName(
+        cands.where(!bothBox)
+          .join(rGeom, Seq("rid")).join(sGeom, Seq("sid"))
+          .select(col("rid"), col("sid"),
+            relUdf(col("rg"), col("rc"), col("sg"), col("sc")).as("relation")))
     } else {
       // APRIL topology filter: -1 = unresolved (refine). Sound resolutions:
       //   no ALL overlap            → DISJOINT (candidates can't touch)
@@ -382,9 +502,6 @@ object GeoEngine {
       //   interiors provably meet in the MBR_INTERSECT routing case → INTERSECT
       // MBR routing case as a pure column (0=EQUAL, 1=S_IN_R, 2=R_IN_S,
       // 3=INTERSECT) — mirrors relateMBRs' live branches
-      val eps = 1e-8
-      val dxmin = col("rxmin") - col("sxmin"); val dymin = col("rymin") - col("symin")
-      val dxmax = col("rxmax") - col("sxmax"); val dymax = col("rymax") - col("symax")
       val mbrCase =
         when(abs(dxmin) < eps && abs(dxmax) < eps && abs(dymin) < eps && abs(dymax) < eps, 0)
           .when(dxmin <= 0 && dxmax >= 0 && dymin <= 0 && dymax >= 0, 1)
@@ -414,17 +531,46 @@ object GeoEngine {
         col("april_all").as("ra"), col("april_full").as("rf"))
       val sApril = sIxDf.select(col("id").as("sid"),
         col("april_all").as("sa"), col("april_full").as("sf"))
-      joined
+      val withA = cands
         .join(rApril, Seq("rid"))
         .join(sApril, Seq("sid"))
-        .join(rGeom, Seq("rid")).join(sGeom, Seq("sid"))
-        .withColumn("april_rel", aprilRel(col("ra"), col("rf"), col("sa"), col("sf"), mbrCase))
+        .withColumn("april_rel",
+          aprilRel(col("ra"), col("rf"), col("sa"), col("sf"), mbrCase))
+      // unresolved box pairs fall back to the column fast path (no coords
+      // join); only unresolved non-box pairs pay the geometry re-join + UDF
+      val rect = withA.where(bothBox)
         .select(col("rid"), col("sid"),
           when(col("april_rel") >= 0, col("april_rel"))
-            .otherwise(relUdf(col("rg"), col("rc"), col("sg"), col("sc")))
-            .as("relation"))
+            .otherwise(boxRel).as("relation"))
+      if (!anyNonBox) rect
+      else rect.unionByName(
+        withA.where(!bothBox)
+          .join(rGeom, Seq("rid")).join(sGeom, Seq("sid"))
+          .select(col("rid"), col("sid"),
+            when(col("april_rel") >= 0, col("april_rel"))
+              .otherwise(relUdf(col("rg"), col("rc"), col("sg"), col("sc")))
+              .as("relation")))
     }
   }
+
+  /**
+   * Size-based join-strategy chooser (the BaseIndex::evaluateQuery dispatch
+   * analogue, containers.h:1999-2048): broadcast S when Catalyst's size
+   * estimate of its pre-explode footprint fits comfortably on every
+   * executor; otherwise shuffle (multi-resolution tile exchange + AQE).
+   */
+  def chooseBroadcast(s: Dataset[_], thresholdBytes: Long = 16L << 20): Boolean =
+    s.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thresholdBytes)
+
+  /** spatialJoin with the broadcast/shuffle decision taken from size
+    * estimates instead of a caller flag. */
+  def spatialJoinAuto(r: Dataset[GeoRow], s: Dataset[GeoRow], pred: Int,
+                      grid: GridConfig, useApril: Boolean = false,
+                      saltFactor: Int = 1,
+                      aprilOrder: Int = AprilOrder,
+                      maxFineCover: Int = 16): DataFrame =
+    spatialJoin(r, s, pred, grid, useApril,
+      broadcastS = chooseBroadcast(s), saltFactor, aprilOrder, maxFineCover)
 
   // ---------------------------------------------------------- range queries
 

@@ -252,8 +252,7 @@ object SparkEntry {
     implicit val s: SparkSession = spark
     val dir = "/root/testdata/sf0.001"
     GeoEngine.spatialJoin(pointsGeo(orderPoints(spark, dir)),
-      boxesGeo(partBoxes(spark, dir)), Predicates.INTERSECTS, grid,
-      broadcastS = true)
+      boxesGeo(partBoxes(spark, dir)), Predicates.INTERSECTS, grid)
   }
 
   // ---- query registry -----------------------------------------------------
@@ -273,23 +272,22 @@ object SparkEntry {
     "q_pip_join" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       GeoEngine.spatialJoin(pointsGeo(orderPoints(s, dir)),
-        boxesGeo(partBoxes(s, dir)), Predicates.INTERSECTS, grid,
-        broadcastS = true)
+        boxesGeo(partBoxes(s, dir)), Predicates.INTERSECTS, grid)
     }),
     "q_inside_join" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       GeoEngine.spatialJoin(boxesGeo(smallBoxes(s, dir)),
-        boxesGeo(partBoxes(s, dir)), Predicates.INSIDE, grid, broadcastS = true)
+        boxesGeo(partBoxes(s, dir)), Predicates.INSIDE, grid)
     }),
     "q_equal_join" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       GeoEngine.spatialJoin(boxesGeo(custBoxes(s, dir)),
-        boxesGeo(partBoxes(s, dir)), Predicates.EQUAL, grid, broadcastS = true)
+        boxesGeo(partBoxes(s, dir)), Predicates.EQUAL, grid)
     }),
     "q_meet_join" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       GeoEngine.spatialJoin(boxesGeo(partBoxes(s, dir)),
-        boxesGeo(shiftedBoxes(s, dir)), Predicates.MEET, grid, broadcastS = true)
+        boxesGeo(shiftedBoxes(s, dir)), Predicates.MEET, grid)
     }),
     "q_find_relation" -> ((s, dir) => {
       implicit val sp: SparkSession = s

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+/**
+ * Multi-resolution tiling: wide objects (fine cover > maxFineCover) are
+ * assigned at the coarse grid, narrow ones at the fine grid, and the three
+ * level-pair sub-joins must reproduce the single-level result exactly —
+ * same pairs, exactly once — for every predicate and for find-relation.
+ */
+class MultiResSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val grid = graft.web.Pages.WorldGrid
+
+  /** Deterministic mixed-width boxes: narrow (sub-tile) through very wide
+    * (tens of fine tiles, several coarse cells). */
+  private def boxes(seed: Int, n: Int): org.apache.spark.sql.Dataset[GeoRow] = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val k = i * 31 + seed
+      val cx = (k * 13 % 2800) / 8.0 - 175.0
+      val cy = (k * 17 % 1280) / 8.0 - 80.0
+      // widths span 0.125° .. 8° — straddles the maxFineCover boundary
+      val hw = ((k % 64) + 1) / 8.0
+      val hh = ((k % 48) + 1) / 8.0
+      GeoRow(i.toLong, GeomType.BOX,
+        Array(cx - hw, cy - hh, cx + hw, cy - hh, cx + hw, cy + hh,
+          cx - hw, cy + hh, cx - hw, cy - hh),
+        cx - hw, cy - hh, cx + hw, cy + hh)
+    }.toDS()
+  }
+
+  /** Star polygons with mixed radii (forces the non-rectangular path). */
+  private def stars(seed: Int, n: Int): org.apache.spark.sql.Dataset[GeoRow] = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val k = i * 37 + seed
+      val cx = (k * 13 % 2800) / 8.0 - 175.0
+      val cy = (k * 17 % 1280) / 8.0 - 80.0
+      val rad = ((k % 40) + 1) / 8.0
+      val nv = 6 + (k % 4)
+      val cs = new Array[Double](2 * (nv + 1))
+      var v = 0
+      while (v < nv) {
+        val ang = 2 * math.Pi * v / nv
+        val rr = rad * (0.6 + 0.4 * (((k * 31 + v * 17) % 97) / 97.0))
+        cs(2 * v) = cx + rr * math.cos(ang); cs(2 * v + 1) = cy + rr * math.sin(ang)
+        v += 1
+      }
+      cs(2 * nv) = cs(0); cs(2 * nv + 1) = cs(1)
+      GeoRow(i.toLong, GeomType.POLYGON, cs, cx - rad, cy - rad, cx + rad, cy + rad)
+    }.toDS()
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("multi-res boxes ≡ single-level for all 8 predicates") {
+    val r = boxes(1, 400)
+    val s = boxes(2, 400)
+    for (pred <- Seq(Predicates.INTERSECTS, Predicates.INSIDE, Predicates.DISJOINT,
+        Predicates.EQUAL, Predicates.MEET, Predicates.CONTAINS,
+        Predicates.COVERS, Predicates.COVERED_BY)) {
+      val multi = pairs(GeoEngine.spatialJoin(r, s, pred, grid, maxFineCover = 16))
+      val single = pairs(GeoEngine.spatialJoin(r, s, pred, grid,
+        maxFineCover = Int.MaxValue))
+      assert(multi == single, s"pred=$pred multi=${multi.size} single=${single.size}")
+    }
+  }
+
+  test("multi-res polygons ≡ single-level (UDF refinement path)") {
+    val r = stars(3, 200)
+    val s = stars(4, 200)
+    val multi = pairs(GeoEngine.spatialJoin(r, s, Predicates.INTERSECTS, grid,
+      maxFineCover = 16))
+    val single = pairs(GeoEngine.spatialJoin(r, s, Predicates.INTERSECTS, grid,
+      maxFineCover = Int.MaxValue))
+    assert(multi == single, s"multi=${multi.size} single=${single.size}")
+    assert(multi.nonEmpty)
+  }
+
+  test("multi-res find-relation ≡ single-level, box fast path ≡ UDF") {
+    val r = boxes(5, 300)
+    val s = boxes(6, 300)
+    def rels(maxCover: Int) =
+      GeoEngine.findRelationJoin(r, s, grid, maxFineCover = maxCover)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val multi = rels(16)
+    val single = rels(Int.MaxValue)
+    assert(multi == single)
+    // the column fast path must equal the exact DE-9IM kernel per pair
+    val viaKernel = {
+      val rm = r.collect().map(g => g.id -> g).toMap
+      val sm = s.collect().map(g => g.id -> g).toMap
+      multi.map { case (a, b, _) =>
+        (a, b, Topology.findRelation(
+          Geom(rm(a).gtype, rm(a).coords), Geom(sm(b).gtype, sm(b).coords)))
+      }
+    }
+    assert(multi == viaKernel)
+    assert(multi.map(_._3).size >= 1)
+  }
+
+  test("broadcast mode ≡ shuffle mode under multi-res") {
+    val r = boxes(7, 300)
+    val s = boxes(8, 150)
+    val bc = pairs(GeoEngine.spatialJoin(r, s, Predicates.INTERSECTS, grid,
+      broadcastS = true, maxFineCover = 16))
+    val sh = pairs(GeoEngine.spatialJoin(r, s, Predicates.INTERSECTS, grid,
+      broadcastS = false, maxFineCover = 16))
+    assert(bc == sh)
+    assert(bc.nonEmpty)
+  }
+
+  test("salted multi-res join ≡ unsalted") {
+    val r = boxes(9, 300)
+    val s = boxes(10, 150)
+    val salted = pairs(GeoEngine.spatialJoin(r, s, Predicates.INTERSECTS, grid,
+      saltFactor = 4, maxFineCover = 16))
+    val plain = pairs(GeoEngine.spatialJoin(r, s, Predicates.INTERSECTS, grid,
+      maxFineCover = 16))
+    assert(salted == plain)
+  }
+
+  test("size-based chooser picks broadcast for small, shuffle for large estimates") {
+    val s = boxes(11, 100)
+    assert(GeoEngine.chooseBroadcast(s, thresholdBytes = Long.MaxValue))
+    assert(!GeoEngine.chooseBroadcast(s, thresholdBytes = 1L))
+    // spatialJoinAuto must agree with the explicitly-planned joins
+    val r = boxes(12, 200)
+    val auto = pairs(GeoEngine.spatialJoinAuto(r, s, Predicates.INTERSECTS, grid))
+    val manual = pairs(GeoEngine.spatialJoin(r, s, Predicates.INTERSECTS, grid))
+    assert(auto == manual)
+  }
+}
