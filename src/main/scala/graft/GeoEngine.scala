@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core._
+import graft.functions.GeoExprs
 
 /**
  * Spark-native spatial engine: the reference's prepare/partition/index/query
@@ -318,10 +319,8 @@ object GeoEngine {
     val cands = mrCandidates(rIx, sIx, grid, broadcastS, saltFactor,
       maxFineCover, rHasWide, sHasWide, if (slim) _ => Nil else payloadCols)
 
-    val refineUdf = udf {
-      (p: Int, rg: Int, rc: Array[Double], sg: Int, sc: Array[Double]) =>
-        Topology.evalPredicate(p, Geom(rg, rc), Geom(sg, sc))
-    }
+    def refineExpr: Column =
+      GeoExprs.stRefine(pred, col("rg"), col("rc"), col("sg"), col("sc"))
     // Rectangular fast path: for POINT/BOX pairs every predicate is a pure
     // coordinate comparison (DE-9IM on axis-aligned closed rectangles) — no
     // UDF, stays in whole-stage codegen. Exact arithmetic (no tolerance);
@@ -396,19 +395,14 @@ object GeoEngine {
             .join(geomTable(sIx, "s", "sid"), Seq("sid"))
         else nonRect0
       val refined = if (useApril) {
-        val verdictUdf = udf {
-          (p: Int, ra: Array[Long], rf: Array[Long], sa: Array[Long], sf: Array[Long]) =>
-            April.verdict(p, April.Approx(ra, rf), April.Approx(sa, sf))
-        }
         nonRect
-          .withColumn("verdict", verdictUdf(lit(pred),
+          .withColumn("verdict", GeoExprs.aprilVerdict(pred,
             col("r_april_all"), col("r_april_full"),
             col("s_april_all"), col("s_april_full")))
           .where(col("verdict") === April.TRUE_HIT ||
-            (col("verdict") === April.INCONCLUSIVE &&
-              refineUdf(lit(pred), col("rg"), col("rc"), col("sg"), col("sc"))))
+            (col("verdict") === April.INCONCLUSIVE && refineExpr))
       } else {
-        nonRect.where(refineUdf(lit(pred), col("rg"), col("rc"), col("sg"), col("sc")))
+        nonRect.where(refineExpr)
       }
       rectPairs.unionByName(refined.select(col("rid"), col("sid")))
     }
@@ -447,9 +441,8 @@ object GeoEngine {
       saltFactor, maxFineCover, rHasWide, sHasWide, _ => Nil)
     val rGeom = rIxDf.select(col("id").as("rid"), col("coords").as("rc"))
     val sGeom = sIxDf.select(col("id").as("sid"), col("coords").as("sc"))
-    val relUdf = udf { (rg: Int, rc: Array[Double], sg: Int, sc: Array[Double]) =>
-      Topology.findRelation(Geom(rg, rc), Geom(sg, sc))
-    }
+    def relExpr: Column =
+      GeoExprs.stFindRelation(col("rg"), col("rc"), col("sg"), col("sc"))
 
     // Box×box fast path: the reference's MBR-case routing + per-case refine
     // priority (Topology.findRelation) collapses to pure column arithmetic
@@ -493,7 +486,7 @@ object GeoEngine {
         cands.where(!bothBox)
           .join(rGeom, Seq("rid")).join(sGeom, Seq("sid"))
           .select(col("rid"), col("sid"),
-            relUdf(col("rg"), col("rc"), col("sg"), col("sc")).as("relation")))
+            relExpr.as("relation")))
     } else {
       // APRIL topology filter: -1 = unresolved (refine). Sound resolutions:
       //   no ALL overlap            → DISJOINT (candidates can't touch)
@@ -507,22 +500,11 @@ object GeoEngine {
           .when(dxmin <= 0 && dxmax >= 0 && dymin <= 0 && dymax >= 0, 1)
           .when(dxmin >= 0 && dxmax <= 0 && dymin >= 0 && dymax <= 0, 2)
           .otherwise(3)
-      val aprilRel = udf { (ra: Array[Long], rf: Array[Long],
-                            sa: Array[Long], sf: Array[Long], mc: Int) =>
-        // mc==0 (EPS-equal MBRs) never yields DISJOINT in the reference's
-        // routing (refineEqual... has no disjoint check) — defer to refine
-        if (!April.intervalsOverlap(ra, sa)) {
-          if (mc == 0) -1 else Topology.TR_DISJOINT
-        }
-        else if (April.intervalsContained(sa, rf)) Topology.TR_CONTAINS
-        else if (April.intervalsContained(ra, sf)) Topology.TR_INSIDE
-        else if (mc == 3 &&
-          (April.intervalsOverlap(rf, sa) || April.intervalsOverlap(ra, sf)))
-          // MBR_INTERSECT routing can only yield DISJOINT/MEET/INTERSECT;
-          // interiors meeting rules out the first two.
-          Topology.TR_INTERSECT
-        else -1
-      }
+      // mc==0 (EPS-equal MBRs) never yields DISJOINT in the reference's
+      // routing (refineEqual... has no disjoint check) — defer to refine;
+      // MBR_INTERSECT routing can only yield DISJOINT/MEET/INTERSECT, so
+      // provably-meeting interiors resolve to INTERSECT.
+      // (kernel: graft.functions.GeoKernels.aprilTopoRel, codegen Expression)
       // No broadcast hints: APRIL interval arrays scale with geometry size,
       // so forcing either side driver-resident dies at scale (8 GB broadcast
       // cap). These are shuffled equi-joins on id; AQE converts a genuinely
@@ -535,7 +517,7 @@ object GeoEngine {
         .join(rApril, Seq("rid"))
         .join(sApril, Seq("sid"))
         .withColumn("april_rel",
-          aprilRel(col("ra"), col("rf"), col("sa"), col("sf"), mbrCase))
+          GeoExprs.aprilTopoRel(col("ra"), col("rf"), col("sa"), col("sf"), mbrCase))
       // unresolved box pairs fall back to the column fast path (no coords
       // join); only unresolved non-box pairs pay the geometry re-join + UDF
       val rect = withA.where(bothBox)
@@ -548,7 +530,7 @@ object GeoEngine {
           .join(rGeom, Seq("rid")).join(sGeom, Seq("sid"))
           .select(col("rid"), col("sid"),
             when(col("april_rel") >= 0, col("april_rel"))
-              .otherwise(relUdf(col("rg"), col("rc"), col("sg"), col("sc")))
+              .otherwise(relExpr)
               .as("relation")))
     }
   }
@@ -596,9 +578,8 @@ object GeoEngine {
       floor((greatest(col("ymin"), col("qymin")) - lit(grid.yMin)) / lit(grid.fineExtY)).cast("long"),
       lit(0L)), lit(grid.globalPpd - 1L))
     val dedup = (refI + refJ * grid.globalPpd) === col("tile")
-    val intersectsUdf = udf { (qg: Int, qc: Array[Double], g: Int, c: Array[Double]) =>
-      Topology.intersects(Geom(qg, qc), Geom(g, c))
-    }
+    def intersectsExpr: Column = GeoExprs.stRefine(Predicates.INTERSECTS,
+      col("qg"), col("qc"), col("gtype"), col("coords"))
     // rectangular fast path: for BOX windows over POINT/BOX data the MBR
     // overlap (already applied) IS the exact predicate — the reference's
     // interior-tile shortcut generalized to the whole rectangular case
@@ -608,7 +589,7 @@ object GeoEngine {
     dt.join(broadcast(qRows), Seq("tile"))
       .where(mbrOverlap && dedup &&
         when(rectangular, lit(true))
-          .otherwise(intersectsUdf(col("qg"), col("qc"), col("gtype"), col("coords"))))
+          .otherwise(intersectsExpr))
       .select(col("qid"), col("id"))
   }
 

@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, QuinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+import graft.core._
+
+/**
+ * Static geometry kernels callable from whole-stage-generated Java — the
+ * reference's fused filter→refine pipeline (src/APRIL/filter.cpp:296-303)
+ * as native Catalyst expressions instead of Scala UDFs. A ScalaUDF pays
+ * CatalystTypeConverters per row (array<double> → boxed Seq[Double]); these
+ * expressions take the raw `ArrayData` and bulk-copy to primitive arrays.
+ */
+object GeoKernels {
+  def refine(pred: Int, rg: Int, rc: ArrayData, sg: Int, sc: ArrayData): Boolean =
+    Topology.evalPredicate(pred,
+      Geom(rg, rc.toDoubleArray()), Geom(sg, sc.toDoubleArray()))
+
+  def findRelation(rg: Int, rc: ArrayData, sg: Int, sc: ArrayData): Int =
+    Topology.findRelation(
+      Geom(rg, rc.toDoubleArray()), Geom(sg, sc.toDoubleArray()))
+
+  def aprilVerdict(pred: Int, ra: ArrayData, rf: ArrayData,
+                   sa: ArrayData, sf: ArrayData): Int =
+    April.verdict(pred,
+      April.Approx(ra.toLongArray(), rf.toLongArray()),
+      April.Approx(sa.toLongArray(), sf.toLongArray()))
+
+  /** APRIL topology (find-relation) intermediate filter; -1 = unresolved.
+    * See GeoEngine.findRelationJoin for the soundness argument. */
+  def aprilTopoRel(ra: ArrayData, rf: ArrayData, sa: ArrayData, sf: ArrayData,
+                   mbrCase: Int): Int = {
+    val raA = ra.toLongArray(); val saA = sa.toLongArray()
+    if (!April.intervalsOverlap(raA, saA)) {
+      if (mbrCase == 0) -1 else Topology.TR_DISJOINT
+    } else if (April.intervalsContained(saA, rf.toLongArray())) Topology.TR_CONTAINS
+    else if (April.intervalsContained(raA, sf.toLongArray())) Topology.TR_INSIDE
+    else if (mbrCase == 3 &&
+      (April.intervalsOverlap(rf.toLongArray(), saA) ||
+       April.intervalsOverlap(raA, sf.toLongArray()))) Topology.TR_INTERSECT
+    else -1
+  }
+}
+
+/** Exact predicate refinement: evalPredicate(pred, (rg, rc), (sg, sc)). */
+case class STRefine(predId: Int, rg: Expression, rc: Expression,
+                    sg: Expression, sc: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = rg
+  override def second: Expression = rc
+  override def third: Expression = sg
+  override def fourth: Expression = sc
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_refine"
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoKernels.refine(predId, a.asInstanceOf[Int], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[Int], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.GeoKernels.refine($predId, $a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): STRefine =
+    copy(rg = a, rc = b, sg = c, sc = d)
+}
+
+/** DE-9IM relation classifier with the reference's MBR-case routing. */
+case class STFindRelation(rg: Expression, rc: Expression,
+                          sg: Expression, sc: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = rg
+  override def second: Expression = rc
+  override def third: Expression = sg
+  override def fourth: Expression = sc
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "st_find_relation"
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoKernels.findRelation(a.asInstanceOf[Int], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[Int], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.GeoKernels.findRelation($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): STFindRelation =
+    copy(rg = a, rc = b, sg = c, sc = d)
+}
+
+/** APRIL predicate verdict over (ALL, FULL) interval-list columns. */
+case class AprilVerdict(predId: Int, ra: Expression, rf: Expression,
+                        sa: Expression, sf: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = ra
+  override def second: Expression = rf
+  override def third: Expression = sa
+  override def fourth: Expression = sf
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "april_verdict"
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoKernels.aprilVerdict(predId, a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.GeoKernels.aprilVerdict($predId, $a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): AprilVerdict =
+    copy(ra = a, rf = b, sa = c, sf = d)
+}
+
+/** APRIL topology intermediate filter (find-relation); -1 = unresolved. */
+case class AprilTopoRel(ra: Expression, rf: Expression, sa: Expression,
+                        sf: Expression, mbrCase: Expression)
+    extends QuinaryExpression {
+  override def children: Seq[Expression] = Seq(ra, rf, sa, sf, mbrCase)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "april_topo_rel"
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any, e: Any): Any =
+    GeoKernels.aprilTopoRel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData], e.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d, e) =>
+      s"graft.functions.GeoKernels.aprilTopoRel($a, $b, $c, $d, $e)")
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AprilTopoRel =
+    copy(ra = newChildren(0), rf = newChildren(1), sa = newChildren(2),
+      sf = newChildren(3), mbrCase = newChildren(4))
+}
+
+/** Column-level wrappers. */
+object GeoExprs {
+  private def e(c: Column): Expression = GraftColumnBridge.expression(c)
+
+  def stRefine(pred: Int, rg: Column, rc: Column, sg: Column, sc: Column): Column =
+    GraftColumnBridge.column(STRefine(pred, e(rg), e(rc), e(sg), e(sc)))
+
+  def stFindRelation(rg: Column, rc: Column, sg: Column, sc: Column): Column =
+    GraftColumnBridge.column(STFindRelation(e(rg), e(rc), e(sg), e(sc)))
+
+  def aprilVerdict(pred: Int, ra: Column, rf: Column, sa: Column, sf: Column): Column =
+    GraftColumnBridge.column(AprilVerdict(pred, e(ra), e(rf), e(sa), e(sf)))
+
+  def aprilTopoRel(ra: Column, rf: Column, sa: Column, sf: Column, mbrCase: Column): Column =
+    GraftColumnBridge.column(AprilTopoRel(e(ra), e(rf), e(sa), e(sf), e(mbrCase)))
+}
