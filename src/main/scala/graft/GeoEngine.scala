@@ -54,6 +54,28 @@ object GeoEngine {
     } finally in.close()
   }
 
+  /**
+   * Read a headerless CSV dataset (`count` header line, then `id,x y,...`
+   * rows) with reference load semantics: the declared count caps the number
+   * of data lines loaded, the file's id column is ignored, and recID = the
+   * line's 0-based index in the file (header = line 0, so data ids start
+   * at 1) — mirroring `object.recID = currentLine` (partitioning.cpp:270).
+   */
+  def readCsv(spark: SparkSession, path: String, gtype: Int): Dataset[GeoRow] = {
+    import spark.implicits._
+    val declared = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p)))
+      try in.readLine().trim.toLong finally in.close()
+    }
+    spark.read.textFile(path).rdd.zipWithIndex()
+      .filter { case (_, idx) => idx >= 1 && idx <= declared }
+      .flatMap { case (line, idx) =>
+        Csv.parseLine(line, gtype).map(g => GeoRow.of(idx, g))
+      }.toDS()
+  }
+
   /** Query-file semantics: all lines (incl. unterminated last) — see
     * API/Hecatoncheir.cpp:799. */
   def loadQueriesWkt(path: String, gtype: Int): Seq[(Long, Geom)] =
@@ -558,16 +580,36 @@ object GeoEngine {
 
   /** Batch range query: (queryId, id) for every data object intersecting the
     * query window. Query windows are broadcast (SURVEY §2.8); tile pruning
-    * comes from the equi-join on the windows' exploded tile cover. */
+    * comes from the equi-join on the windows' exploded tile cover.
+    *
+    * `useApril`: the reference's on-the-fly window APRIL
+    * (src/APRIL/filter.cpp:236-246) — each (polygon) window is rasterized
+    * ONCE on the driver and broadcast with its tile rows; the interval
+    * verdict then short-circuits most candidates before exact refinement.
+    * Intended for APRIL-pre-indexed data (`april_all` columns present);
+    * un-indexed data is rasterized lazily. */
   def rangeBatch(data: Dataset[GeoRow], queries: Seq[(Long, Geom)],
-                 grid: GridConfig): DataFrame = {
+                 grid: GridConfig, useApril: Boolean = false,
+                 aprilOrder: Int = AprilOrder): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
+    val dIx =
+      if (!useApril) data.toDF()
+      else if (data.toDF().columns.contains("april_all")) data.toDF()
+      else aprilIndex(data.toDF(), grid, aprilOrder)
     val qRows = queries.flatMap { case (qid, g) =>
       val m = g.mbr
-      grid.fineTiles(m).map(t => (qid, t, g.gtype, g.coords, m.xmin, m.ymin, m.xmax, m.ymax))
-    }.toDF("qid", "tile", "qg", "qc", "qxmin", "qymin", "qxmax", "qymax")
-    val dt = withTiles(data, grid)
+      val (qall, qfull) =
+        if (useApril) {
+          val a = April.rasterize(g, grid.xMin, grid.yMin,
+            grid.xExtent, grid.yExtent, aprilOrder)
+          (a.all, a.full)
+        } else (Array.emptyLongArray, Array.emptyLongArray)
+      grid.fineTiles(m).map(t =>
+        (qid, t, g.gtype, g.coords, m.xmin, m.ymin, m.xmax, m.ymax, qall, qfull))
+    }.toDF("qid", "tile", "qg", "qc", "qxmin", "qymin", "qxmax", "qymax",
+      "qall", "qfull")
+    val dt = withTiles2(dIx, grid)
     val mbrOverlap =
       col("xmax") >= col("qxmin") && col("xmin") <= col("qxmax") &&
       col("ymax") >= col("qymin") && col("ymin") <= col("qymax")
@@ -586,10 +628,16 @@ object GeoEngine {
     val rectangular =
       col("qg") === GeomType.BOX &&
       (col("gtype") === GeomType.POINT || col("gtype") === GeomType.BOX)
+    val nonRectPredicate =
+      if (useApril) {
+        val verdict = GeoExprs.aprilVerdict(Predicates.INTERSECTS,
+          col("april_all"), col("april_full"), col("qall"), col("qfull"))
+        verdict === April.TRUE_HIT ||
+          (verdict === April.INCONCLUSIVE && intersectsExpr)
+      } else intersectsExpr
     dt.join(broadcast(qRows), Seq("tile"))
       .where(mbrOverlap && dedup &&
-        when(rectangular, lit(true))
-          .otherwise(intersectsExpr))
+        when(rectangular, lit(true)).otherwise(nonRectPredicate))
       .select(col("qid"), col("id"))
   }
 
@@ -607,34 +655,52 @@ object GeoEngine {
                gridOpt: Option[GridConfig] = None): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
+    knnBatchDf(points,
+      queries.map { case (qid, g) => (qid, g.coords(0), g.coords(1)) }
+        .toDF("qid", "qx", "qy"), k, gridOpt)
+  }
+
+  /** Fully distributed batch kNN: queries stay a DataFrame end-to-end. The
+    * only driver-side artifact is the per-tile histogram — bounded by
+    * globalPpd² regardless of data size — broadcast to executors, where each
+    * query's Chebyshev-ring expansion (the reference's checkDistance prune,
+    * knn_filter.cpp:27-39) runs inside a map. Scales to 10⁴+ queries with no
+    * per-query driver loop. */
+  def knnBatchDf(points: Dataset[GeoRow], queries: DataFrame, k: Int,
+                 gridOpt: Option[GridConfig] = None): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
     val grid = gridOpt.getOrElse(gridFor(dataspace(points)))
 
-    // Phase 1 (one tiny job): per-tile point counts → driver map. Bounded by
-    // globalPpd² tiles regardless of data size, so this scales to any N.
+    // Phase 1 (one tiny job): per-tile point counts → broadcast map.
     val homeUdf = udf { (x: Double, y: Double) => grid.fineTileOfPoint(x, y) }
     val tileCounts: Map[Long, Long] = points
       .select(homeUdf(col("xmin"), col("ymin")).as("tile"))
       .groupBy("tile").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bcCounts = spark.sparkContext.broadcast(tileCounts)
 
-    // Phase 2 (driver, per query): expand Chebyshev rings from the home tile
+    // Phase 2 (distributed): per query, expand rings from the home tile
     // until ≥k points are covered, derive a safe kth-distance upper bound
     // from the covered box, and emit every tile whose min distance to the
-    // query is within the bound — the reference's checkDistance prune
-    // (knn_filter.cpp:27-39) batched.
-    val qTiles = queries.flatMap { case (qid, g) =>
-      val qx = g.coords(0); val qy = g.coords(1)
-      candidateKnnTiles(qx, qy, k, grid, tileCounts).map(t => (qid, t, qx, qy))
-    }.toDF("qid", "tile", "qx", "qy")
+    // query is within the bound.
+    val kLocal = k
+    val gridLocal = grid
+    val tilesUdf = udf { (qx: Double, qy: Double) =>
+      candidateKnnTiles(qx, qy, kLocal, gridLocal, bcCounts.value)
+    }
+    val qTiles = queries.select(col("qid"), col("qx"), col("qy"))
+      .withColumn("tile", explode(tilesUdf(col("qx"), col("qy"))))
 
-    // Phase 3: tile equi-join (queries broadcast) → exact distance → bounded
-    // heap per query; shuffles ≤ k·parts rows per query.
+    // Phase 3: tile equi-join (AQE broadcasts a small query side) → exact
+    // distance → bounded heap per query; map-side partial top-k keeps the
+    // shuffle at ≤ k·parts rows per query.
     val dist = sqrt(
       (col("xmin") - col("qx")) * (col("xmin") - col("qx")) +
       (col("ymin") - col("qy")) * (col("ymin") - col("qy")))
     val topk = new graft.functions.TopKAggregator(k).toColumn
     points.withColumn("tile", homeUdf(col("xmin"), col("ymin")))
-      .join(broadcast(qTiles), Seq("tile"))
+      .join(qTiles, Seq("tile"))
       .select(col("qid"), col("id"), dist.as("dist"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)

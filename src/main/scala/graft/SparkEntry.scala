@@ -337,13 +337,46 @@ object SparkEntry {
     }),
     "q_knn" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val qs = supplierPoints(s, dir).collect()
-        .map(r => (r.getLong(0), Geom.point(r.getDouble(1), r.getDouble(2)))).toSeq
-      GeoEngine.knnBatch(pointsGeo(orderPoints(s, dir)), qs, 5, Some(grid))
+      // queries stay a DataFrame — no driver-side collect of the query table
+      val qs = supplierPoints(s, dir).select(
+        col("id").as("qid"), col("x").as("qx"), col("y").as("qy"))
+      GeoEngine.knnBatchDf(pointsGeo(orderPoints(s, dir)), qs, 5, Some(grid))
         .select(col("qid"), col("id"), col("rnk").cast("long").as("rnk"))
     }),
 
+    // --- CSV scan (reference load semantics: count header, id col ignored,
+    //     recID = file line index) ---
+    "q_csv_scan" -> ((s, dir) => {
+      val rows = supplierPoints(s, dir).orderBy("id").collect()
+      val f = new java.io.File(s"/tmp/graft_csv_${math.abs(dir.hashCode)}.csv")
+      val w = new java.io.PrintWriter(f)
+      try {
+        w.println(rows.length)
+        rows.foreach(r => w.println(s"${r.getLong(0)},${r.getDouble(1)} ${r.getDouble(2)}"))
+      } finally w.close()
+      GeoEngine.readCsv(s, f.getPath, GeomType.POINT)
+        .select(col("id"), col("xmin").as("x"), col("ymin").as("y"))
+    }),
+
     // --- range queries ---
+    // polygon (diamond) windows with the on-the-fly window APRIL filter
+    "q_range_poly_april" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wins = s.read.parquet(s"$dir/nation.parquet").select(
+        col("n_nationkey").cast("long").as("qid"),
+        ((col("n_nationkey") * 29 % 2800) / 8.0 - 175.0).as("cx"),
+        ((col("n_nationkey") * 31 % 1280) / 8.0 - 80.0).as("cy"),
+        ((col("n_nationkey") % 6 + 15) / 8.0).as("hw"),
+        ((col("n_nationkey") % 4 + 12) / 8.0).as("hh")
+      ).collect().map { r =>
+        val (qid, cx, cy, hw, hh) =
+          (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+        (qid, Geom(GeomType.POLYGON,
+          Array(cx - hw, cy, cx, cy - hh, cx + hw, cy, cx, cy + hh, cx - hw, cy)))
+      }.toSeq
+      GeoEngine.rangeBatch(pointsGeo(orderPoints8(s, dir)), wins, grid,
+        useApril = true, aprilOrder = 10)
+    }),
     "q_range_count" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val wins = nationWindows(s, dir).collect().map(r =>
@@ -445,13 +478,18 @@ object SparkEntry {
       val tables = s.range(4).select(col("id").cast("int").as("t"))
       val banded = emb.crossJoin(tables)
         .withColumn("bucket", sigUdf(col("embedding"), col("t")))
-      val l = banded.select(col("t"), col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
-      val r = banded.select(col("t"), col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
+      val l = banded.select(col("t"), col("bucket"), col("vec_id").as("a"))
+      val r = banded.select(col("t"), col("bucket"), col("vec_id").as("b"))
       val cosUdf = udf { (x: Seq[Float], y: Seq[Float]) => Ann.cosine(x, y) }
+      // distinct over (a, b) id pairs only; vectors re-join by id afterwards
+      // (a distinct carrying both float arrays shuffles the full vectors)
+      val vecs = emb.select(col("vec_id"), col("embedding"))
       l.join(r, Seq("t", "bucket")).where(col("a") < col("b"))
-        .select(col("a"), col("b"), col("ea"), col("eb")).distinct()
-        .where(cosUdf(col("ea"), col("eb")) >= 0.3)
         .select(col("a"), col("b")).distinct()
+        .join(vecs.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+        .join(vecs.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+        .where(cosUdf(col("ea"), col("eb")) >= 0.3)
+        .select(col("a"), col("b"))
     }),
 
     // --- event-time windowed tile aggregation (streaming op, batch-checked) ---
@@ -626,6 +664,20 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
          |      SQRT((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)), p.id) AS rnk
          |  FROM p, q) WHERE rnk <= 5""".stripMargin,
+    "q_csv_scan" ->
+      s"""WITH s AS ($supplierPointsSql)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS BIGINT) AS id, x, y
+         |FROM s""".stripMargin,
+    "q_range_poly_april" ->
+      s"""WITH p AS ($orderPoints8Sql),
+         |w AS (SELECT CAST(n_nationkey AS BIGINT) AS qid,
+         |  (n_nationkey * 29 % 2800) / 8.0 - 175.0 AS cx,
+         |  (n_nationkey * 31 % 1280) / 8.0 - 80.0 AS cy,
+         |  (n_nationkey % 6 + 15) / 8.0 AS hw,
+         |  (n_nationkey % 4 + 12) / 8.0 AS hh
+         |  FROM nation)
+         |SELECT w.qid AS qid, p.id AS id FROM p, w
+         |WHERE ABS(p.x - w.cx) * w.hh + ABS(p.y - w.cy) * w.hw <= w.hw * w.hh""".stripMargin,
     "q_range_count" ->
       s"""WITH p AS ($orderPointsSql), w AS ($nationWindowsSql)
          |SELECT qid, COUNT(*) AS n FROM p, w

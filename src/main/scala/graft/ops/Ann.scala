@@ -86,8 +86,14 @@ object Ann {
     val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) => cosine(a, b) }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    emb.join(broadcast(q), Seq("table", "bucket"))
-      .select(col("qid"), col("vec_id"), col("embedding"), col("qvec")).distinct()
+    // dedup multi-table candidates on (qid, vec_id) IDS ONLY — never shuffle
+    // the float vectors through a distinct; vectors re-join by id after
+    val cand = emb.join(broadcast(q), Seq("table", "bucket"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val qvecs = broadcast(queries.toDF("qid", "qvec"))
+    cand
+      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(qvecs, Seq("qid"))
       .withColumn("sim", cosUdf(col("embedding"), col("qvec")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)

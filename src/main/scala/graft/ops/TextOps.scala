@@ -114,13 +114,37 @@ object TextOps {
   }
 
   /** Exact n-gram Jaccard similarity between two texts. */
-  def ngramJaccard(a: String, b: String, gram: Int = 5): Double = {
-    def shingles(s: String): Set[Long] =
-      if (s.length < gram) Set(fnv64(s))
-      else (0 to s.length - gram).map(i => fnv64(s.substring(i, i + gram))).toSet
-    val sa = shingles(a); val sb = shingles(b)
-    if (sa.isEmpty && sb.isEmpty) 1.0
-    else (sa intersect sb).size.toDouble / (sa union sb).size
+  def ngramJaccard(a: String, b: String, gram: Int = 5): Double =
+    sortedJaccard(shingleHashes(a, gram), shingleHashes(b, gram))
+
+  /** Sorted distinct FNV64 hashes of the text's char `gram`-shingles —
+    * computed ONCE per document; candidate verification intersects these
+    * arrays instead of re-shingling both texts per candidate pair. */
+  def shingleHashes(s: String, gram: Int = 5): Array[Long] = {
+    if (s.length < gram) return Array(fnv64(s))
+    val out = new Array[Long](s.length - gram + 1)
+    var i = 0
+    while (i + gram <= s.length) { out(i) = fnv64(s.substring(i, i + gram)); i += 1 }
+    java.util.Arrays.sort(out)
+    // dedup in place
+    var w = 0; var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    java.util.Arrays.copyOf(out, w)
+  }
+
+  /** Jaccard of two sorted distinct hash arrays (merge intersection). */
+  def sortedJaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
   }
 
   /** Tiny language-ID heuristic: stopword hit counting over a fixed set per
@@ -154,46 +178,78 @@ object TextOps {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
 
   /** MinHash-LSH candidate pairs verified by exact n-gram Jaccard ≥ `tau`.
-    * bands × rows = k; candidates join on (band, band-hash buckets). */
+    * bands × rows = k; candidates join on (band, band-hash buckets).
+    *
+    * Scale guards (Common Crawl WILL produce mass-duplicated boilerplate):
+    *  - buckets larger than `maxBucket` switch from the quadratic a<b
+    *    self-join to star linking against the bucket's min doc id — a
+    *    million-document boilerplate bucket emits 10⁶ pairs, not 10¹²,
+    *    and transitive grouping downstream recovers the same dup groups;
+    *  - verification intersects per-doc precomputed sorted shingle arrays
+    *    (no per-pair re-shingling of both texts).
+    */
   def minhashDedupPairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
-                        gram: Int = 5, tau: Double = 0.8): DataFrame = {
+                        gram: Int = 5, tau: Double = 0.8,
+                        maxBucket: Int = 64): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val rows = k / bands
     val sigUdf = udf { (t: String) => minhash(t, k, gram) }
-    val withSig = docs.select(col("doc_id"), col("text"), sigUdf(col("text")).as("sig"))
+    val withSig = docs.select(col("doc_id"), sigUdf(col("text")).as("sig"))
     val bandUdf = udf { (sig: Seq[Long]) =>
       (0 until bands).map { b =>
         val slice = sig.slice(b * rows, (b + 1) * rows)
         (b, slice.foldLeft(0xcbf29ce484222325L)((h, v) => (h ^ v) * 0x100000001b3L))
       }
     }
-    // candidate generation shuffles only (band, bucket, id) — texts join in
-    // late, once per distinct candidate pair, not per bucket collision
+    // candidate generation shuffles only (band, bucket, id) — shingle arrays
+    // join in late, once per distinct candidate pair, not per bucket collision
     val banded = withSig
       .withColumn("bh", explode(bandUdf(col("sig"))))
       .select(col("doc_id"), col("bh._1").as("band"), col("bh._2").as("bucket"))
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"))
-    val candidates = l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    val texts = docs.select(col("doc_id"), col("text"))
-    val jacUdf = udf { (x: String, y: String) => ngramJaccard(x, y, gram) }
+    val w = Window.partitionBy("band", "bucket")
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("doc_id")).over(w))
+    val small = sized.where(col("bsz") <= maxBucket)
+    val l = small.select(col("band"), col("bucket"), col("doc_id").as("a"))
+    val r = small.select(col("band"), col("bucket"), col("doc_id").as("b"))
+    val smallPairs = l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val starPairs = sized.where(col("bsz") > maxBucket && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("a"), col("doc_id").as("b"))
+    val candidates = smallPairs.unionByName(starPairs).distinct()
+    val shUdf = udf { (t: String) => shingleHashes(t, gram) }
+    val shingles = docs.select(col("doc_id"), shUdf(col("text")).as("sh"))
+    val jacUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
+      sortedJaccard(x.toArray, y.toArray) }
     candidates
-      .join(texts.withColumnRenamed("doc_id", "a").withColumnRenamed("text", "ta"), Seq("a"))
-      .join(texts.withColumnRenamed("doc_id", "b").withColumnRenamed("text", "tb"), Seq("b"))
-      .withColumn("jaccard", jacUdf(col("ta"), col("tb")))
+      .join(shingles.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(shingles.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("jaccard", jacUdf(col("sha"), col("shb")))
       .where(col("jaccard") >= tau)
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** SimHash near-dup pairs: equal simhash bucket (hamming-0 fast path). */
-  def simhashDupPairs(docs: DataFrame): DataFrame = {
+  /** SimHash near-dup pairs: equal simhash bucket (hamming-0 fast path).
+    * Buckets above `maxBucket` star-link to the min doc id instead of the
+    * quadratic self-join (same dup groups transitively, linear output). */
+  def simhashDupPairs(docs: DataFrame, maxBucket: Int = 64): DataFrame = {
     val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
     val shUdf = udf { (t: String) => simhash64(t) }
     val withH = docs.select(col("doc_id"), shUdf(col("text")).as("sh"))
-    val l = withH.select(col("sh"), col("doc_id").as("a"))
-    val r = withH.select(col("sh"), col("doc_id").as("b"))
-    l.join(r, Seq("sh")).where(col("a") < col("b")).select(col("a"), col("b"), col("sh"))
+    val w = Window.partitionBy("sh")
+    val sized = withH
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("doc_id")).over(w))
+    val small = sized.where(col("bsz") <= maxBucket)
+    val l = small.select(col("sh"), col("doc_id").as("a"))
+    val r = small.select(col("sh"), col("doc_id").as("b"))
+    val smallPairs = l.join(r, Seq("sh")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sh"))
+    val starPairs = sized.where(col("bsz") > maxBucket && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("a"), col("doc_id").as("b"), col("sh"))
+    smallPairs.unionByName(starPairs)
   }
 }

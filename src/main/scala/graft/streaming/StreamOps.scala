@@ -55,22 +55,34 @@ object StreamOps {
    * path of the streaming surface (KeyValueGroupedDataset + GroupState).
    */
   def sessionize(events: DataFrame, grid: GridConfig,
-                 gapMs: Long = 30 * 60 * 1000L): org.apache.spark.sql.Dataset[UserSession] = {
+                 gapMs: Long = 30 * 60 * 1000L,
+                 watermarkDelay: String = "10 minutes"): org.apache.spark.sql.Dataset[UserSession] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    val tagged = withTileColumns(geotagEvents(events), grid)
-      .select(col("user_id"), col("ts").cast("long").as("ts_s"), col("tile"))
-      .as[(Long, Long, Long)]
+    val tagged0 = withTileColumns(geotagEvents(events), grid)
+    // streaming sessions close on EVENT-time inactivity: the watermark (not
+    // wall-clock drift) drives state timeouts, so stream results match the
+    // batch/oracle gap semantics exactly
+    val taggedW =
+      if (tagged0.isStreaming) tagged0.withWatermark("ts", watermarkDelay)
+      else tagged0
+    // the watermarked `ts` attribute itself must survive into the stateful
+    // operator's child plan (a cast drops the watermark tag), so it rides
+    // along as an unused 4th field
+    val tagged = taggedW
+      .select(col("user_id"), col("ts").cast("long").as("ts_s"), col("tile"),
+        col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
 
     val streamingMode = tagged.isStreaming // plain boolean: safe to close over
 
-    def fn(user: Long, it: Iterator[(Long, Long, Long)],
+    def fn(user: Long, it: Iterator[(Long, Long, Long, java.sql.Timestamp)],
            state: GroupState[SessionState]): Iterator[UserSession] = {
       val sorted = it.toSeq.sortBy(_._2)
       var st = state.getOption.getOrElse(SessionState(0, -1L, -1L, Seq.empty))
       val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
-      sorted.foreach { case (_, tsS, tile) =>
+      sorted.foreach { case (_, tsS, tile, _) =>
         val ms = tsS * 1000L
         if (st.n > 0 && ms - st.lastMs > gapMs) {
           closed += UserSession(user, st.n, st.startMs, st.lastMs, st.tiles.size)
@@ -81,26 +93,29 @@ object StreamOps {
           else SessionState(st.n + 1, st.startMs, ms, if (st.tiles.contains(tile)) st.tiles else st.tiles :+ tile)
       }
       if (state.hasTimedOut) {
+        // event-time timeout: the watermark passed lastMs + gapMs, so the
+        // open session's gap has provably elapsed in event time
         if (st.n > 0) closed += UserSession(user, st.n, st.startMs, st.lastMs, st.tiles.size)
         state.remove()
       } else {
         state.update(st)
         if (state.getOption.isDefined && streamingMode)
-          state.setTimeoutDuration(gapMs)
+          state.setTimeoutTimestamp(
+            math.max(st.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
       }
       closed.iterator
     }
 
     if (tagged.isStreaming)
       tagged.groupByKey(_._1).flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(fn)
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
     else {
       // batch mode: same core logic, sessions flushed at end of input
       tagged.groupByKey(_._1).flatMapGroups { (user, it) =>
         val sorted = it.toSeq.sortBy(_._2)
         val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
         var st = SessionState(0, -1L, -1L, Seq.empty)
-        sorted.foreach { case (_, tsS, tile) =>
+        sorted.foreach { case (_, tsS, tile, _) =>
           val ms = tsS * 1000L
           if (st.n > 0 && ms - st.lastMs > gapMs) {
             out += UserSession(user, st.n, st.startMs, st.lastMs, st.tiles.size)

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+/** CSV load semantics + on-the-fly window APRIL + distributed kNN parity. */
+class CsvRangeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("readCsv: count header caps load, id column ignored, recID = line index") {
+    val f = java.io.File.createTempFile("graft_csv", ".csv")
+    val w = new java.io.PrintWriter(f)
+    // declared count 3, but 5 data lines present → only first 3 load;
+    // line 2 malformed → skipped but still consumes its line number
+    w.println("3")
+    w.println("999,1.5 2.5")
+    w.println("888,not a point")
+    w.println("777,3.0 4.0")
+    w.println("666,5.0 6.0")
+    w.println("555,7.0 8.0")
+    w.close()
+    val rows = GeoEngine.readCsv(spark, f.getPath, GeomType.POINT)
+      .collect().sortBy(_.id)
+    assert(rows.map(_.id).toSeq == Seq(1L, 3L), s"got ${rows.map(_.id).toSeq}")
+    assert(rows(0).xmin == 1.5 && rows(0).ymin == 2.5)
+    assert(rows(1).xmin == 3.0 && rows(1).ymin == 4.0)
+    f.delete()
+  }
+
+  test("readCsv: linestrings parse multi-pair coords") {
+    val f = java.io.File.createTempFile("graft_csv2", ".csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("1")
+    w.println("0,0.0 0.0,1.0 1.0,2.0 0.5")
+    w.close()
+    val rows = GeoEngine.readCsv(spark, f.getPath, GeomType.LINESTRING).collect()
+    assert(rows.length == 1)
+    assert(rows(0).coords.toSeq == Seq(0.0, 0.0, 1.0, 1.0, 2.0, 0.5))
+    assert(rows(0).xmax == 2.0 && rows(0).ymax == 1.0)
+    f.delete()
+  }
+
+  test("rangeBatch polygon windows: APRIL on ≡ APRIL off") {
+    import spark.implicits._
+    val grid = graft.web.Pages.WorldGrid
+    val pts = (0 until 3000).map { i =>
+      val x = (i * 7 % 2880) / 8.0 - 180.0
+      val y = (i * 11 % 1360) / 8.0 - 85.0
+      GeoRow(i.toLong, GeomType.POINT, Array(x, y), x, y, x, y)
+    }.toDS()
+    val wins = (0 until 12).map { q =>
+      val cx = (q * 29 % 2800) / 8.0 - 175.0
+      val cy = (q * 31 % 1280) / 8.0 - 80.0
+      val hw = (q % 6 + 15) / 8.0; val hh = (q % 4 + 12) / 8.0
+      (q.toLong, Geom(GeomType.POLYGON,
+        Array(cx - hw, cy, cx, cy - hh, cx + hw, cy, cx, cy + hh, cx - hw, cy)))
+    }
+    def res(useApril: Boolean) =
+      GeoEngine.rangeBatch(pts, wins, grid, useApril = useApril, aprilOrder = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val on = res(true); val off = res(false)
+    assert(on == off, s"april=on ${on.size} vs off ${off.size}")
+    assert(on.nonEmpty)
+  }
+
+  test("distributed kNN (DataFrame queries) ≡ brute force") {
+    import spark.implicits._
+    val grid = graft.web.Pages.WorldGrid
+    val pts = (0 until 2000).map { i =>
+      val x = (i * 7 % 3600) / 10.0 - 180.0
+      val y = (i * 11 % 1700) / 10.0 - 85.0
+      GeoRow(i.toLong, GeomType.POINT, Array(x, y), x, y, x, y)
+    }
+    val ptsDs = pts.toDS()
+    val qs = (0 until 40).map(q => (q.toLong, (q * 19 % 3600) / 10.0 - 180.0,
+      (q * 23 % 1700) / 10.0 - 85.0))
+    val got = GeoEngine.knnBatchDf(ptsDs, qs.toDF("qid", "qx", "qy"), 5, Some(grid))
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    // brute force oracle with (dist, id) ascending tie-break
+    val want = qs.flatMap { case (qid, qx, qy) =>
+      pts.map(p => (p.id, math.sqrt((p.xmin - qx) * (p.xmin - qx) +
+          (p.ymin - qy) * (p.ymin - qy))))
+        .sortBy(t => (t._2, t._1)).take(5).zipWithIndex
+        .map { case ((id, _), i) => (qid, i + 1, id) }
+    }.toSet
+    assert(got == want)
+  }
+}

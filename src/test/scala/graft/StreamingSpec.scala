@@ -62,25 +62,35 @@ class StreamingSpec extends AnyFunSuite {
            again.map(s => (s.user_id, s.start_ms, s.n_events)).toSet)
   }
 
-  test("sessionize runs as a streaming query with state timeout") {
+  test("sessionize streaming (event-time timeout) == batch closed sessions") {
     val grid = Pages.WorldGrid
     val batchDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // a far-future sentinel event (its own user) pushes the event-time
+    // watermark beyond every real session's end + gap, so EVERY real
+    // session times out and is emitted — closed-set EQUALITY, not subset
+    val sentinelUser = -1L
+    val sentinel = batchDf.sparkSession.sql(
+      "SELECT CAST(-1 AS BIGINT) AS event_id, " +
+        "TIMESTAMP_NTZ '2031-01-01 00:00:00' AS ts, " +
+        s"CAST($sentinelUser AS BIGINT) AS user_id, " +
+        "'sentinel' AS event_type, CAST(0.0 AS DOUBLE) AS value, '' AS props")
+      .select(batchDf.columns.map(col): _*)
+    val withSentinel = batchDf.unionByName(sentinel)
     val dir = java.nio.file.Files.createTempDirectory("graft_sess")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
-      dir.resolve("events.parquet"))
+    withSentinel.coalesce(1).write.parquet(dir.resolve("in").toString)
     val sessions = StreamOps.sessionize(
-      spark.readStream.schema(batchDf.schema).parquet(dir.toString), grid)
+      spark.readStream.schema(batchDf.schema).parquet(dir.resolve("in").toString), grid)
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("sessions")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
-    // streaming emits only closed sessions (open state waits for timeout);
-    // every emitted session must also exist in the batch result
     val streamed = spark.table("sessions").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 != sentinelUser).toSet
     val batch = StreamOps.sessionize(batchDf, grid).collect()
-      .map(s => (s.user_id, s.n_events, s.start_ms)).toSet
-    assert(streamed.subsetOf(batch), s"streamed ${streamed.size} not in batch ${batch.size}")
+      .map(s => (s.user_id, s.n_events, s.start_ms, s.end_ms)).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size} closed sessions")
+    assert(streamed.nonEmpty)
   }
 }

@@ -85,6 +85,45 @@ class WebOpsSpec extends AnyFunSuite {
            f2.map(f => (f.doc_id, f.feature.toSeq)).toSet)
   }
 
+  test("pages: fnv64 ids are unique (no 32-bit collisions)") {
+    val t = Pages.tileAssignments(spark, Pages.synthesize(spark, 5000).toDF()).toDF()
+    assert(t.select("id").distinct().count() == 5000)
+  }
+
+  test("minhash: planted near-dups found; mass-duplicate bucket stays linear") {
+    import spark.implicits._
+    // 200 unique docs + a 500-copy boilerplate cluster (the Common Crawl
+    // degenerate case that makes an uncapped bucket self-join quadratic)
+    val uniq = (0L until 200L).map(i =>
+      (i, s"document number $i with some distinctive content ${i * 31} end"))
+    val boiler = (1000L until 1500L).map(i =>
+      (i, "standard cookie banner text repeated verbatim on every page of the site"))
+    val docs = (uniq ++ boiler).toDF("doc_id", "text")
+    val pairs = TextOps.minhashDedupPairs(docs, tau = 0.9, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // star linking: the 500-copy cluster yields 499 pairs (all anchored at
+    // min id 1000), not 124750
+    val boilerPairs = pairs.filter(_._2 >= 1000L)
+    assert(boilerPairs.length == 499, s"got ${boilerPairs.length}")
+    assert(boilerPairs.forall(_._1 == 1000L))
+    // transitive grouping recovers the full duplicate cluster
+    assert(boilerPairs.map(_._2).toSet == (1001L until 1500L).toSet)
+  }
+
+  test("minhash: star-capped pairs = uncapped pairs on normal (small-bucket) data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // distinct per-group bases (buckets stay small), a few near-dups within
+    val docs = (0L until 120L).map { i =>
+      val g = i / 4
+      val base = (0 until 12).map(w => s"w${g * 131 + w * 17}").mkString(" ")
+      (i, base + (if (i % 4 == 0) "" else s" tail${rnd.nextInt(3)}"))
+    }.toDF("doc_id", "text")
+    def pairSet(cap: Int) = TextOps.minhashDedupPairs(docs, tau = 0.5, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(64) == pairSet(Int.MaxValue))
+  }
+
   test("exact dedup: synthetic corpus with planted duplicates") {
     import spark.implicits._
     val docs = (0L until 100L).map(i => (i, if (i % 10 == 0) "dup text" else s"unique $i"))
