@@ -10,6 +10,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/classload warmup on a tiny synthetic join (no input IO): without it
+    // whichever query runs first absorbs several seconds of one-time cost
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val g = graft.web.Pages.WorldGrid
+      def geo(n: Int, seed: Int) = spark.range(n).select(
+        col("id"), lit(graft.core.GeomType.BOX).as("gtype"),
+        ((col("id") * (13 + seed) % 2800) / 8.0 - 175.0).as("cx"),
+        ((col("id") * (17 + seed) % 1280) / 8.0 - 80.0).as("cy"))
+        .select(col("id"), col("gtype"),
+          array(col("cx") - 0.5, col("cy") - 0.5, col("cx") + 0.5, col("cy") - 0.5,
+            col("cx") + 0.5, col("cy") + 0.5, col("cx") - 0.5, col("cy") + 0.5,
+            col("cx") - 0.5, col("cy") - 0.5).as("coords"),
+          (col("cx") - 0.5).as("xmin"), (col("cy") - 0.5).as("ymin"),
+          (col("cx") + 0.5).as("xmax"), (col("cy") + 0.5).as("ymax")).as[GeoRow]
+      try GeoEngine.spatialJoin(geo(2000, 0), geo(2000, 7),
+        graft.core.Predicates.INTERSECTS, g).count()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

