@@ -48,67 +48,89 @@ object April {
         Approx(Array(d, d + 1), Array.empty)
 
       case GeomType.LINESTRING =>
-        val partial = walkEdges(g.coords, xMin, yMin, cellW, cellH, n, closeRing = false)
-        Approx(cellsToIntervals(partial.map { case (x, y) => Hilbert.xy2d(n, x, y) }), Array.empty)
+        val partial = walkEdgesPacked(g.coords, xMin, yMin, cellW, cellH, n)
+        val hil = new Array[Long](partial.length)
+        var i = 0
+        while (i < partial.length) {
+          hil(i) = Hilbert.xy2d(n, partial(i) % n, partial(i) / n); i += 1
+        }
+        Approx(cellsToIntervals(hil), Array.empty)
 
       case _ => // POLYGON / BOX
-        val partial = walkEdges(g.coords, xMin, yMin, cellW, cellH, n, closeRing = false)
-        // group partial cells by row for interior run classification
-        val byRow = partial.groupBy(_._2)
-        val fullCells = scala.collection.mutable.ArrayBuffer.empty[Long] // hilbert ids
-        byRow.foreach { case (row, cells) =>
-          val xs = cells.map(_._1).toArray.sorted.distinct
-          var i = 0
-          while (i < xs.length - 1) {
-            val gapStart = xs(i) + 1
-            val gapEnd = xs(i + 1) - 1
-            if (gapStart <= gapEnd) {
-              // classify the gap by a PiP test at the first gap cell's center
-              val cx = xMin + (gapStart + 0.5) * cellW
-              val cy = yMin + (row + 0.5) * cellH
-              if (Topology.locate(cx, cy, g) == 0) { // IN
-                var x = gapStart
-                while (x <= gapEnd) {
-                  fullCells += Hilbert.xy2d(n, x, row)
-                  x += 1
-                }
-              }
+        // edge cells packed row-major (y*n + x), sorted+deduped: cells of one
+        // row are contiguous, so interior-gap classification is a linear scan
+        // (no per-object maps or boxed tuples — this runs per row at
+        // index-build time)
+        val partial = walkEdgesPacked(g.coords, xMin, yMin, cellW, cellH, n)
+        val fullB = scala.collection.mutable.ArrayBuilder.make[Long] // packed
+        var i = 0
+        while (i < partial.length - 1) {
+          val cur = partial(i); val nxt = partial(i + 1)
+          if (cur / n == nxt / n && nxt - cur > 1) {
+            // classify the gap by a PiP test at the first gap cell's center
+            val row = cur / n
+            val gapStart = cur % n + 1
+            val cxc = xMin + (gapStart + 0.5) * cellW
+            val cyc = yMin + (row + 0.5) * cellH
+            if (Topology.locate(cxc, cyc, g) == 0) { // IN
+              var p = cur + 1
+              while (p < nxt) { fullB += p; p += 1 }
             }
-            i += 1
           }
+          i += 1
         }
-        val partialD = partial.map { case (x, y) => Hilbert.xy2d(n, x, y) }
-        val full = cellsToIntervals(fullCells.toSet)
-        val all = cellsToIntervals(partialD ++ fullCells)
-        Approx(all, full)
+        val fullPacked = fullB.result()
+        val allHil = new Array[Long](partial.length + fullPacked.length)
+        i = 0
+        while (i < partial.length) {
+          allHil(i) = Hilbert.xy2d(n, partial(i) % n, partial(i) / n); i += 1
+        }
+        val fullHil = new Array[Long](fullPacked.length)
+        var j = 0
+        while (j < fullPacked.length) {
+          val h = Hilbert.xy2d(n, fullPacked(j) % n, fullPacked(j) / n)
+          fullHil(j) = h; allHil(partial.length + j) = h; j += 1
+        }
+        Approx(cellsToIntervals(allHil), cellsToIntervals(fullHil))
     }
   }
 
   @inline private def clampCell(v: Long, n: Long): Long =
     if (v < 0) 0 else if (v >= n) n - 1 else v
 
-  /** Cells crossed by the polyline's edges (conservative supercover DDA). */
-  private def walkEdges(cs: Array[Double], xMin: Double, yMin: Double,
-      cellW: Double, cellH: Double, n: Long, closeRing: Boolean): Set[(Long, Long)] = {
-    val out = scala.collection.mutable.HashSet.empty[(Long, Long)]
+  /** Cells crossed by the polyline's edges (conservative supercover DDA),
+    * packed row-major (y*n + x), sorted, deduplicated — primitive arrays
+    * throughout, no boxing. */
+  private def walkEdgesPacked(cs: Array[Double], xMin: Double, yMin: Double,
+      cellW: Double, cellH: Double, n: Long): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuilder.make[Long]
     var i = 0
     while (i + 3 < cs.length) {
       supercover(cs(i), cs(i + 1), cs(i + 2), cs(i + 3), xMin, yMin, cellW, cellH, n, out)
       i += 2
     }
-    out.toSet
+    val arr = out.result()
+    java.util.Arrays.sort(arr)
+    // in-place dedup
+    var w = 0; var r = 0
+    while (r < arr.length) {
+      if (w == 0 || arr(r) != arr(w - 1)) { arr(w) = arr(r); w += 1 }
+      r += 1
+    }
+    java.util.Arrays.copyOf(arr, w)
   }
 
   /** Amanatides–Woo style grid traversal for one segment; conservative
-    * (adds both neighbors when passing exactly through a corner). */
+    * (adds both neighbors when passing exactly through a corner). Emits
+    * duplicates freely; the caller sorts + dedups once. */
   private def supercover(x0: Double, y0: Double, x1: Double, y1: Double,
       xMin: Double, yMin: Double, cellW: Double, cellH: Double, n: Long,
-      out: scala.collection.mutable.HashSet[(Long, Long)]): Unit = {
+      out: scala.collection.mutable.ArrayBuilder[Long]): Unit = {
     var cx = clampCell(((x0 - xMin) / cellW).toLong, n)
     var cy = clampCell(((y0 - yMin) / cellH).toLong, n)
     val ex = clampCell(((x1 - xMin) / cellW).toLong, n)
     val ey = clampCell(((y1 - yMin) / cellH).toLong, n)
-    out += ((cx, cy))
+    out += cy * n + cx
     val dx = x1 - x0; val dy = y1 - y0
     val stepX = if (dx > 0) 1L else if (dx < 0) -1L else 0L
     val stepY = if (dy > 0) 1L else if (dy < 0) -1L else 0L
@@ -126,8 +148,8 @@ object April {
     while ((cx != ex || cy != ey) && guard > 0) {
       if (math.abs(tMaxX - tMaxY) < 1e-15) {
         // corner crossing: conservatively include both side cells
-        out += ((clampCell(cx + stepX, n), cy))
-        out += ((cx, clampCell(cy + stepY, n)))
+        out += cy * n + clampCell(cx + stepX, n)
+        out += clampCell(cy + stepY, n) * n + cx
         cx = clampCell(cx + stepX, n); cy = clampCell(cy + stepY, n)
         tMaxX += tDeltaX; tMaxY += tDeltaY
       } else if (tMaxX < tMaxY) {
@@ -135,10 +157,10 @@ object April {
       } else {
         cy = clampCell(cy + stepY, n); tMaxY += tDeltaY
       }
-      out += ((cx, cy))
+      out += cy * n + cx
       guard -= 1
     }
-    out += ((ex, ey))
+    out += ey * n + ex
   }
 
   /** Sorted distinct cell ids → flattened [start,end) interval list. */
