@@ -176,6 +176,69 @@ object GeoEngine {
       row.getInt(3) == 1, row.getInt(4) == 1)
   }
 
+  /** One side's exploded row for the in-tile plane sweep. */
+  final case class SweepRow(tile: Long, id: Long, g: Int,
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double)
+
+  /** Candidate pair emitted by the sweep (same shape as the hash-join path). */
+  final case class CandRow(rid: Long, sid: Long, rg: Int, sg: Int,
+      rxmin: Double, rymin: Double, rxmax: Double, rymax: Double,
+      sxmin: Double, symin: Double, sxmax: Double, symax: Double)
+
+  /**
+   * In-tile forward plane sweep (the reference's sweep kernels,
+   * src/TwoLayer/intersection_join_filter.cpp:31-361, re-expressed): both
+   * sides of a tile sorted by ymin; each element forward-scans the other
+   * list over the ymin window [own ymin, own ymax], so y-overlap is implied
+   * and only the x-overlap is tested — O((m+n)·log + scanned) instead of the
+   * m×n cross product a hash join feeds to the filter. Exactly-once within
+   * the tile via the ymin tie-break (r-scan takes s.ymin ≥ r.ymin, s-scan
+   * takes r.ymin > s.ymin); exactly-once across tiles via the same
+   * reference-point filter as the hash path.
+   *
+   * Use for DENSE tiles: the hash-join path is fully codegen'd and wins on
+   * ordinary density, but a tile holding k objects costs it O(k²) filter
+   * evaluations — the sweep caps hot-tile cost without salting.
+   */
+  private def sweepTile(grid: GridConfig, tile: Long,
+      rsIn: Iterator[SweepRow], ssIn: Iterator[SweepRow]): Iterator[CandRow] = {
+    val rs = rsIn.toArray
+    val ss = ssIn.toArray
+    if (rs.isEmpty || ss.isEmpty) return Iterator.empty
+    java.util.Arrays.sort(rs, Ordering.by((w: SweepRow) => w.ymin))
+    java.util.Arrays.sort(ss, Ordering.by((w: SweepRow) => w.ymin))
+    val out = scala.collection.mutable.ArrayBuffer.empty[CandRow]
+    @inline def emit(r: SweepRow, s: SweepRow): Unit =
+      if (r.xmax >= s.xmin && r.xmin <= s.xmax &&
+          grid.tileId(
+            math.min(math.max(grid.fineX(math.max(r.xmin, s.xmin)), 0), grid.globalPpd - 1),
+            math.min(math.max(grid.fineY(math.max(r.ymin, s.ymin)), 0), grid.globalPpd - 1)
+          ) == tile)
+        out += CandRow(r.id, s.id, r.g, s.g,
+          r.xmin, r.ymin, r.xmax, r.ymax, s.xmin, s.ymin, s.xmax, s.ymax)
+    // pointer into ss of the first element with ymin >= current r.ymin
+    var j0 = 0
+    var i = 0
+    while (i < rs.length) {
+      val r = rs(i)
+      while (j0 < ss.length && ss(j0).ymin < r.ymin) j0 += 1
+      var j = j0
+      while (j < ss.length && ss(j).ymin <= r.ymax) { emit(r, ss(j)); j += 1 }
+      i += 1
+    }
+    // symmetric pass for pairs where r.ymin > s.ymin (strict — no double emit)
+    var i0 = 0
+    var k = 0
+    while (k < ss.length) {
+      val s = ss(k)
+      while (i0 < rs.length && rs(i0).ymin <= s.ymin) i0 += 1
+      var i2 = i0
+      while (i2 < rs.length && rs(i2).ymin <= s.ymax) { emit(rs(i2), s); i2 += 1 }
+      k += 1
+    }
+    out.iterator
+  }
+
   /**
    * Exactly-once MBR-overlapping candidate pairs via multi-resolution
    * tiling. Objects whose fine-tile cover exceeds `maxFineCover` cells are
@@ -200,7 +263,8 @@ object GeoEngine {
   private def mrCandidates(rIx: DataFrame, sIx: DataFrame, grid: GridConfig,
       broadcastS: Boolean, saltFactor: Int, maxFineCover: Int,
       rHasWide: Boolean, sHasWide: Boolean,
-      payload: String => Seq[Column]): DataFrame = {
+      payload: String => Seq[Column],
+      sweepFine: Boolean = false): DataFrame = {
     val slim = !broadcastS
     val wide = fineCoverCnt(grid) > maxFineCover
 
@@ -248,10 +312,25 @@ object GeoEngine {
       rt.join(st, keys).where(mbrOverlap && dedup).drop("tile", "salt")
     }
 
-    val fineJoin = subJoin(
-      side(rIx, "r", "rid", fine = true, -1),
-      side(sIx, "s", "sid", fine = true, -1),
-      grid.fineExtX, grid.fineExtY, grid.globalPpd)
+    val fineJoin =
+      if (sweepFine && slim) {
+        // dense-tile physical path: cogroup per tile + forward plane sweep
+        val spark = rIx.sparkSession
+        import spark.implicits._
+        def sweepSide(df: DataFrame): Dataset[SweepRow] =
+          explodeCover(df.where(!wide), grid.fineExtX, grid.fineExtY,
+            grid.xMin, grid.yMin, grid.globalPpd)
+            .select(col("tile"), col("id"), col("gtype").as("g"),
+              col("xmin"), col("ymin"), col("xmax"), col("ymax"))
+            .as[SweepRow]
+        sweepSide(rIx).groupByKey(_.tile)
+          .cogroup(sweepSide(sIx).groupByKey(_.tile)) { (tile, rs, ss) =>
+            sweepTile(grid, tile, rs, ss)
+          }.toDF()
+      } else subJoin(
+        side(rIx, "r", "rid", fine = true, -1),
+        side(sIx, "s", "sid", fine = true, -1),
+        grid.fineExtX, grid.fineExtY, grid.globalPpd)
     val parts = Seq(
       Some(fineJoin),
       if (sHasWide) Some(subJoin(
@@ -328,7 +407,8 @@ object GeoEngine {
                   aprilOrder: Int = AprilOrder,
                   maxFineCover: Int = 16,
                   rMeta: Option[SideMeta] = None,
-                  sMeta: Option[SideMeta] = None): DataFrame = {
+                  sMeta: Option[SideMeta] = None,
+                  sweep: Boolean = false): DataFrame = {
     def ix(df: DataFrame): DataFrame =
       if (!useApril) df
       else if (df.columns.contains("april_all")) df // pre-indexed (buildIndex)
@@ -356,7 +436,8 @@ object GeoEngine {
     val anyNonRect = rm.hasNonRect || sm.hasNonRect
 
     val cands = mrCandidates(rIx, sIx, grid, broadcastS, saltFactor,
-      maxFineCover, rm.hasWide, sm.hasWide, if (slim) _ => Nil else payloadCols)
+      maxFineCover, rm.hasWide, sm.hasWide,
+      if (slim) _ => Nil else payloadCols, sweepFine = sweep && slim)
 
     def refineExpr: Column =
       GeoExprs.stRefine(pred, col("rg"), col("rc"), col("sg"), col("sc"))

@@ -158,6 +158,34 @@ class MultiResSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("plane-sweep physical path ≡ hash-join path (incl. a dense hot tile)") {
+    import spark.implicits._
+    // 400 mixed-width boxes + 300 tiny boxes crammed into ONE fine tile
+    // (the dense-tile case the sweep exists for)
+    def dense(seed: Int) = (0 until 300).map { i =>
+      val k = i * 13 + seed
+      val cx = 10.02 + (k % 97) * 0.003 // all within one ~0.41° tile
+      val cy = 20.01 + (k % 89) * 0.002
+      GeoRow((10000 + i).toLong, GeomType.BOX,
+        Array(cx, cy, cx + 0.002, cy, cx + 0.002, cy + 0.002, cx, cy + 0.002, cx, cy),
+        cx, cy, cx + 0.002, cy + 0.002)
+    }
+    val r = boxes(31, 400).union(dense(1).toDS())
+    val s = boxes(32, 400).union(dense(5).toDS())
+    for (pred <- Seq(Predicates.INTERSECTS, Predicates.MEET, Predicates.INSIDE)) {
+      val viaSweep = pairs(GeoEngine.spatialJoin(r, s, pred, grid,
+        maxFineCover = 16, sweep = true))
+      val viaHash = pairs(GeoEngine.spatialJoin(r, s, pred, grid,
+        maxFineCover = 16))
+      assert(viaSweep == viaHash, s"pred=$pred sweep=${viaSweep.size} hash=${viaHash.size}")
+    }
+    // polygons through the sweep (non-rect refinement downstream unchanged)
+    val rp = stars(33, 150)
+    val sp = stars(34, 150)
+    assert(pairs(GeoEngine.spatialJoin(rp, sp, Predicates.INTERSECTS, grid, sweep = true)) ==
+           pairs(GeoEngine.spatialJoin(rp, sp, Predicates.INTERSECTS, grid)))
+  }
+
   test("size-based chooser picks broadcast for small, shuffle for large estimates") {
     val s = boxes(11, 100)
     assert(GeoEngine.chooseBroadcast(s, thresholdBytes = Long.MaxValue))
