@@ -12,6 +12,12 @@ import org.scalatest.funsuite.AnyFunSuite
  */
 class GoldenKernelSpec extends AnyFunSuite {
 
+  test("node assignment parity: rank = (coarseTile % workers) + 1 (containers.h:1759)") {
+    val g = GridConfig.fromDataBounds(-180, -90, 180, 90)
+    for (tile <- Seq(0L, 1L, 108L, 109L, 5000L, 11880L); workers <- Seq(1, 4, 10))
+      assert(g.nodeRankForCoarse(tile, workers) == (tile % workers) + 1)
+  }
+
   private val samples = "/root/reference/Hecatoncheir/test/samples"
 
   def load(file: String, gtype: Int): Seq[(Long, Geom)] = {
