@@ -433,6 +433,12 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
       Ann.lshTopK(emb, qs, 10)
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val qs = emb.where(col("vec_id") < 5).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      Ann.ivfTopK(emb, qs, 10)
+    }),
 
     // --- polygon predicates beyond intersects (rows-only: SQL can't
     //     express polygon topology; pinned instead by golden + property tests) ---

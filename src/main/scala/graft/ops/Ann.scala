@@ -64,6 +64,49 @@ object Ann {
     sig
   }
 
+  /**
+   * IVF (inverted-file) ANN: vectors are partitioned into `nlist` cells
+   * around deterministic sampled centroids; a query exhaustively rescans
+   * only its `nprobe` nearest cells. The FAISS-style scale path: the
+   * per-query cost is nprobe/nlist of a full scan, and the cell assignment
+   * is a plain equi-join key (shuffle-friendly, no all-pairs anywhere).
+   *
+   * Centroids are the `nlist` vectors with the smallest mixed vec_id — a
+   * deterministic uniform sample (no RNG state, stable under retries).
+   * With nprobe == nlist this degrades to exact brute force (tested).
+   */
+  def ivfTopK(embeddings: DataFrame, queries: Seq[(Long, Seq[Float])],
+              k: Int, nlist: Int = 32, nprobe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    @inline def mix(v: Long): Long = {
+      var h = v * 0x9e3779b97f4a7c15L
+      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33); h
+    }
+    val centroids: Array[(Int, Seq[Float])] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(udf { (id: Long) => mix(id) }.apply(col("vec_id")))
+      .limit(nlist).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1)) }
+    val bcCents = spark.sparkContext.broadcast(centroids)
+    def nearestLists(v: Seq[Float], n: Int): Seq[Int] =
+      bcCents.value.map { case (i, c) => (i, cosine(v, c)) }
+        .sortBy { case (i, sim) => (-sim, i) }.take(n).map(_._1).toSeq
+    val assignUdf = udf { (v: Seq[Float]) => nearestLists(v, 1).head }
+    val indexed = embeddings.withColumn("list", assignUdf(col("embedding")))
+    val q = queries.flatMap { case (qid, v) =>
+      nearestLists(v, nprobe).map(l => (qid, l, v))
+    }.toDF("qid", "list", "qvec")
+    val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) => cosine(a, b) }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    indexed.join(broadcast(q), Seq("list"))
+      .withColumn("sim", cosUdf(col("embedding"), col("qvec")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("rnk"))
+  }
+
   /** LSH-bucketed ANN: exact re-score only within matching buckets across
     * `nTables` independent hash tables. Recall grows with tables; candidates
     * stay ~bucket-sized — the 100-TB path (bucket equi-join, no cross

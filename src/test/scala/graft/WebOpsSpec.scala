@@ -64,6 +64,26 @@ class WebOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"LSH recall too low on real data: $recall")
   }
 
+  test("ANN IVF: nprobe=nlist ≡ brute force exactly; planted recall at nprobe=4") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val bases = (0L until 60L).map(i => (i, Seq.fill(32)(rnd.nextFloat() * 2 - 1)))
+    val dups = bases.map { case (i, v) => (i + 1000L, v.map(x => x + 0.01f)) }
+    val emb = (bases ++ dups).toDF("vec_id", "embedding")
+    val qs = bases.take(15)
+    // full probe == exhaustive scan == brute force (exact equivalence)
+    val bf = Ann.bruteForceTopK(emb, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Ann.ivfTopK(emb, qs, 5, nlist = 16, nprobe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == bf)
+    // pruned probing still finds the planted near-duplicates
+    val ivf = Ann.ivfTopK(emb, qs, 2, nlist = 16, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val found = qs.count { case (q, _) => ivf.get(q).exists(_.exists(_._2 == q + 1000L)) }
+    assert(found >= 13, s"IVF found only $found/15 planted near-dups")
+  }
+
   test("text ops: langId deterministic + simhash of duplicate texts equal") {
     assert(TextOps.langId("the quick brown fox is in the house and it was good") == "en")
     assert(TextOps.langId("der hund ist nicht in der schule und das ist gut") == "de")
