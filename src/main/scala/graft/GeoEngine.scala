@@ -508,11 +508,29 @@ object GeoEngine {
     if (!anyNonRect) {
       cands.where(rectangular && rectExact).select(col("rid"), col("sid"))
     } else {
-      val all =
-        if (slim)
-          cands.join(geomTable(rIx, "r", "rid"), Seq("rid"))
-            .join(geomTable(sIx, "s", "sid"), Seq("sid"))
-        else cands
+      // All-point sides never pay the payload re-join: a point's coords ARE
+      // its MBR corner (already on the candidate row), and its APRIL A-list
+      // is one Hilbert cell — synthesized inline, bit-identical to the
+      // rasterized form. The whole side's rasterization then prunes out of
+      // the plan. Points-vs-regions workloads keep exactly one payload join.
+      def attach(c: DataFrame, p: String, idName: String, df: DataFrame,
+                 allPoints: Boolean): DataFrame =
+        if (!slim) c
+        else if (allPoints) {
+          val c1 = c.withColumn(p + "c",
+            array(col(p + "xmin"), col(p + "ymin")))
+          if (!useApril) c1
+          else {
+            val cell = GeoExprs.hilbertCell(col(p + "xmin"), col(p + "ymin"),
+              grid.xMin, grid.yMin, grid.xExtent, grid.yExtent, aprilOrder)
+            c1.withColumn(p + "_april_all", array(cell, cell + lit(1L)))
+              .withColumn(p + "_april_full", typedlit(Array.empty[Long]))
+          }
+        } else c.join(geomTable(df, p, idName), Seq(idName))
+      val rAllPoints = rm.hasRect && !rm.hasBox && !rm.hasNonRect
+      val sAllPoints = sm.hasRect && !sm.hasBox && !sm.hasNonRect
+      val all = attach(attach(cands, "r", "rid", rIx, rAllPoints),
+        "s", "sid", sIx, sAllPoints)
       val exactPred = when(rectangular, rectExact).otherwise(refineExpr)
       val refined = if (useApril) {
         all

@@ -31,6 +31,15 @@ object GeoKernels {
       April.Approx(ra.toLongArray(), rf.toLongArray()),
       April.Approx(sa.toLongArray(), sf.toLongArray()))
 
+  /** Hilbert cell id of a point — identical math to April.rasterize's POINT
+    * case, so an inline-synthesized [cell, cell+1) A-list is bit-identical
+    * to the rasterized one. */
+  def pointCell(x: Double, y: Double, xMin: Double, yMin: Double,
+                cellW: Double, cellH: Double, n: Long): Long = {
+    @inline def clamp(v: Long): Long = if (v < 0) 0 else if (v >= n) n - 1 else v
+    Hilbert.xy2d(n, clamp(((x - xMin) / cellW).toLong), clamp(((y - yMin) / cellH).toLong))
+  }
+
   /** APRIL topology (find-relation) intermediate filter; -1 = unresolved.
     * See GeoEngine.findRelationJoin for the soundness argument. */
   def aprilTopoRel(ra: ArrayData, rf: ArrayData, sa: ArrayData, sf: ArrayData,
@@ -130,6 +139,27 @@ case class AprilTopoRel(ra: Expression, rf: Expression, sa: Expression,
       sf = newChildren(3), mbrCase = newChildren(4))
 }
 
+/** Hilbert cell of a point over the dataspace raster (codegen). */
+case class HilbertCell(x: Expression, y: Expression,
+                       xMin: Double, yMin: Double,
+                       cellW: Double, cellH: Double, n: Long)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = x
+  override def right: Expression = y
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_cell"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernels.pointCell(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      xMin, yMin, cellW, cellH, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.GeoKernels.pointCell($a, $b, ${xMin}D, ${yMin}D, " +
+        s"${cellW}D, ${cellH}D, ${n}L)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertCell =
+    copy(x = newLeft, y = newRight)
+}
+
 /** Column-level wrappers. */
 object GeoExprs {
   private def e(c: Column): Expression = GraftColumnBridge.expression(c)
@@ -145,4 +175,11 @@ object GeoExprs {
 
   def aprilTopoRel(ra: Column, rf: Column, sa: Column, sf: Column, mbrCase: Column): Column =
     GraftColumnBridge.column(AprilTopoRel(e(ra), e(rf), e(sa), e(sf), e(mbrCase)))
+
+  def hilbertCell(x: Column, y: Column, xMin: Double, yMin: Double,
+                  xExtent: Double, yExtent: Double, order: Int): Column = {
+    val n = 1L << order
+    GraftColumnBridge.column(HilbertCell(e(x), e(y), xMin, yMin,
+      xExtent / n, yExtent / n, n))
+  }
 }
