@@ -891,16 +891,37 @@ object GeoEngine {
   // --------------------------------------------------------- distance join
 
   /** ε-distance join over point datasets: (rid, sid) with dist <= d.
-    * R explodes to its ε-expanded tile cover; S stays at its home tile —
+    * R explodes to its ε-expanded cell cover; S stays at its home cell —
     * one shuffle replaces the reference's 3-phase MPI exchange
-    * (src/UniformGrid/dj_filter.cpp). */
+    * (src/UniformGrid/dj_filter.cpp).
+    *
+    * The join level adapts to ε: when the ε-box would cover more than
+    * `maxFineCover` fine tiles (a 3° radius covers ~450 of them — a 450×
+    * shuffle amplification), both sides move to the coarse grid, capping
+    * the explode at O(coarse cells) for a few extra cheap distance checks.
+    * Pure column expressions throughout (no UDF in the cover or the test). */
   def distanceJoin(r: Dataset[GeoRow], s: Dataset[GeoRow], d: Double,
-                   grid: GridConfig): DataFrame = {
-    val coverUdf = udf { (x: Double, y: Double) => grid.tilesWithinDistance(x, y, d) }
-    val rt = r.withColumn("tile", explode(coverUdf(col("xmin"), col("ymin"))))
-      .select(col("tile"), col("id").as("rid"), col("xmin").as("rx"), col("ymin").as("ry"))
-    val homeUdf = udf { (x: Double, y: Double) => grid.fineTileOfPoint(x, y) }
-    val st = s.select(homeUdf(col("xmin"), col("ymin")).as("tile"),
+                   grid: GridConfig, maxFineCover: Int = 16): DataFrame = {
+    val fineBoxCover =
+      (math.floor(2 * d / grid.fineExtX).toLong + 2) *
+      (math.floor(2 * d / grid.fineExtY).toLong + 2)
+    val (extX, extY, ppd) =
+      if (fineBoxCover > maxFineCover)
+        (grid.coarseExtX, grid.coarseExtY, grid.coarsePpd)
+      else (grid.fineExtX, grid.fineExtY, grid.globalPpd)
+    val iMin = clampIdx(col("xmin") - d, extX, grid.xMin, ppd)
+    val iMax = clampIdx(col("xmin") + d, extX, grid.xMin, ppd)
+    val jMin = clampIdx(col("ymin") - d, extY, grid.yMin, ppd)
+    val jMax = clampIdx(col("ymin") + d, extY, grid.yMin, ppd)
+    val pl = lit(ppd.toLong)
+    val cover = flatten(transform(sequence(jMin, jMax),
+      j => transform(sequence(iMin, iMax), i => i + j * pl)))
+    val rt = r.toDF().withColumn("tile", explode(cover))
+      .select(col("tile"), col("id").as("rid"),
+        col("xmin").as("rx"), col("ymin").as("ry"))
+    val st = s.toDF().select(
+      (clampIdx(col("xmin"), extX, grid.xMin, ppd) +
+        clampIdx(col("ymin"), extY, grid.yMin, ppd) * pl).as("tile"),
       col("id").as("sid"), col("xmin").as("sx"), col("ymin").as("sy"))
     val dist = sqrt(
       (col("rx") - col("sx")) * (col("rx") - col("sx")) +

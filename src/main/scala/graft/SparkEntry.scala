@@ -271,7 +271,8 @@ object SparkEntry {
     // --- spatial joins ---
     "q_pip_join" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      GeoEngine.spatialJoin(pointsGeo(orderPoints(s, dir)),
+      // size-based chooser picks broadcast vs shuffle from Catalyst stats
+      GeoEngine.spatialJoinAuto(pointsGeo(orderPoints(s, dir)),
         boxesGeo(partBoxes(s, dir)), Predicates.INTERSECTS, grid)
     }),
     "q_inside_join" -> ((s, dir) => {

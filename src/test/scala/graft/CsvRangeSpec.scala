@@ -69,6 +69,24 @@ class CsvRangeSpec extends AnyFunSuite {
     assert(on.nonEmpty)
   }
 
+  test("distance join: coarse-level plan ≡ fine-level plan") {
+    import spark.implicits._
+    val grid = graft.web.Pages.WorldGrid
+    def pts(seed: Int, n: Int) = (0 until n).map { i =>
+      val k = i * 7 + seed
+      val x = (k * 13 % 3600) / 10.0 - 180.0
+      val y = (k * 17 % 1700) / 10.0 - 85.0
+      GeoRow(i.toLong, GeomType.POINT, Array(x, y), x, y, x, y)
+    }.toDS()
+    val r = pts(1, 1500); val s = pts(2, 1500)
+    def res(cap: Int) = GeoEngine.distanceJoin(r, s, 3.0, grid, maxFineCover = cap)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val coarse = res(1)              // forces the coarse grid
+    val fine = res(Int.MaxValue)     // forces the fine grid
+    assert(coarse == fine)
+    assert(coarse.nonEmpty)
+  }
+
   test("distributed kNN handles a 10⁴-query batch (no per-query driver loop)") {
     import spark.implicits._
     val grid = graft.web.Pages.WorldGrid
