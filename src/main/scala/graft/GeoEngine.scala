@@ -353,14 +353,12 @@ object GeoEngine {
    * reference's `persist=true` APRIL files.
    */
   def aprilIndex(df: DataFrame, grid: GridConfig, order: Int = AprilOrder): DataFrame = {
-    val rastUdf = udf { (gtype: Int, coords: Array[Double]) =>
-      val a = April.rasterize(Geom(gtype, coords), grid.xMin, grid.yMin,
-        grid.xExtent, grid.yExtent, order)
-      (a.all, a.full)
-    }
-    df.withColumn("_april", rastUdf(col("gtype"), col("coords")))
-      .withColumn("april_all", col("_april._1"))
-      .withColumn("april_full", col("_april._2"))
+    // native codegen expression: raw ArrayData in, InternalRow of two long
+    // arrays out — no per-element UDF boxing on either side
+    df.withColumn("_april", GeoExprs.aprilRasterize(col("gtype"), col("coords"),
+        grid.xMin, grid.yMin, grid.xExtent, grid.yExtent, order))
+      .withColumn("april_all", col("_april.all"))
+      .withColumn("april_full", col("_april.full"))
       .drop("_april")
   }
 

@@ -40,6 +40,18 @@ object GeoKernels {
     Hilbert.xy2d(n, clamp(((x - xMin) / cellW).toLong), clamp(((y - yMin) / cellH).toLong))
   }
 
+  /** Rasterize a geometry into its (ALL, FULL) interval lists, returned as
+    * an InternalRow of two long arrays (the struct the index build emits). */
+  def rasterize(gtype: Int, coords: ArrayData, xMin: Double, yMin: Double,
+                xExt: Double, yExt: Double, order: Int): InternalRow = {
+    val a = April.rasterize(Geom(gtype, coords.toDoubleArray()),
+      xMin, yMin, xExt, yExt, order)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a.all),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a.full)))
+  }
+
   /** APRIL topology (find-relation) intermediate filter; -1 = unresolved.
     * See GeoEngine.findRelationJoin for the soundness argument. */
   def aprilTopoRel(ra: ArrayData, rf: ArrayData, sa: ArrayData, sf: ArrayData,
@@ -160,6 +172,29 @@ case class HilbertCell(x: Expression, y: Expression,
     copy(x = newLeft, y = newRight)
 }
 
+/** APRIL rasterization at index build: struct(all, full) interval lists. */
+case class AprilRasterize(gtype: Expression, coords: Expression,
+                          xMin: Double, yMin: Double,
+                          xExt: Double, yExt: Double, order: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = gtype
+  override def right: Expression = coords
+  override def dataType: DataType = StructType(Seq(
+    StructField("all", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("full", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "april_rasterize"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernels.rasterize(a.asInstanceOf[Int], b.asInstanceOf[ArrayData],
+      xMin, yMin, xExt, yExt, order)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.GeoKernels.rasterize($a, $b, ${xMin}D, ${yMin}D, " +
+        s"${xExt}D, ${yExt}D, $order)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AprilRasterize =
+    copy(gtype = newLeft, coords = newRight)
+}
+
 /** Column-level wrappers. */
 object GeoExprs {
   private def e(c: Column): Expression = GraftColumnBridge.expression(c)
@@ -182,4 +217,9 @@ object GeoExprs {
     GraftColumnBridge.column(HilbertCell(e(x), e(y), xMin, yMin,
       xExtent / n, yExtent / n, n))
   }
+
+  def aprilRasterize(gtype: Column, coords: Column, xMin: Double, yMin: Double,
+                     xExt: Double, yExt: Double, order: Int): Column =
+    GraftColumnBridge.column(AprilRasterize(e(gtype), e(coords),
+      xMin, yMin, xExt, yExt, order))
 }
