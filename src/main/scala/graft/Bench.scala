@@ -30,18 +30,30 @@ object Bench {
         graft.core.Predicates.INTERSECTS, g).count()
       catch { case _: Throwable => }
     }
+    // per-query error strings surface in the JSON — a crashed query must not
+    // masquerade as a fast one
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces evaluation of EVERY output column — count() would
       // let Catalyst prune computed projections in map-only queries
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.map { case (k, _, e) =>
+      s"\"" + k + "\":" + e.map(jstr).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

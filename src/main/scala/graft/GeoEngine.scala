@@ -372,7 +372,6 @@ object GeoEngine {
     val fj = floor((col("y") - lit(grid.yMin)) / lit(grid.fineExtY)).cast("long")
     val fic = least(greatest(fi, lit(0L)), lit(grid.globalPpd - 1L))
     val fjc = least(greatest(fj, lit(0L)), lit(grid.globalPpd - 1L))
-    val hexUdf = udf { (x: Double, y: Double) => HexGrid.latLngToCell(x, y, hexRes) }
     val fpc = grid.finePerCoarse.toDouble
     points.select(
       col("id"),
@@ -380,7 +379,7 @@ object GeoEngine {
       (floor(fic / lit(fpc)).cast("long") +
         floor(fjc / lit(fpc)).cast("long") * grid.coarsePpd).as("coarseTile"),
       lit(TwoLayerClass.A).as("clazz"),
-      hexUdf(col("x"), col("y")).as("hexCell")
+      GeoExprs.hexCellOf(col("x"), col("y"), hexRes).as("hexCell")
     ).as[TileAssignment]
   }
 
@@ -791,9 +790,15 @@ object GeoEngine {
     val grid = gridOpt.getOrElse(gridFor(dataspace(points)))
 
     // Phase 1 (one tiny job): per-tile point counts → broadcast map.
-    val homeUdf = udf { (x: Double, y: Double) => grid.fineTileOfPoint(x, y) }
+    // Home tile is the pure-column tile math (codegen) — identical to
+    // grid.fineTileOfPoint (floor-then-clamp commutes with clamp-then-floor
+    // on the clamped range).
+    val homeTile =
+      clampIdx(col("xmin"), grid.fineExtX, grid.xMin, grid.globalPpd) +
+      clampIdx(col("ymin"), grid.fineExtY, grid.yMin, grid.globalPpd) *
+        lit(grid.globalPpd.toLong)
     val tileCounts: Map[Long, Long] = points
-      .select(homeUdf(col("xmin"), col("ymin")).as("tile"))
+      .select(homeTile.as("tile"))
       .groupBy("tile").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val bcCounts = spark.sparkContext.broadcast(tileCounts)
@@ -817,7 +822,7 @@ object GeoEngine {
       (col("xmin") - col("qx")) * (col("xmin") - col("qx")) +
       (col("ymin") - col("qy")) * (col("ymin") - col("qy")))
     val topk = new graft.functions.TopKAggregator(k).toColumn
-    points.withColumn("tile", homeUdf(col("xmin"), col("ymin")))
+    points.withColumn("tile", homeTile)
       .join(qTiles, Seq("tile"))
       .select(col("qid"), col("id"), dist.as("dist"))
       .as[(Long, Long, Double)]

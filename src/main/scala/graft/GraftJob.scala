@@ -52,9 +52,9 @@ object GraftJob {
       // 64-bit ids: hash() is 32-bit Murmur3 (birthday collisions from ~1e5
       // urls), and spatialJoin's slim-mode re-join-by-id plus snapshot
       // lineage require unique ids — fnv64 keeps them collision-free at the
-      // 1e12-row north rule.
-      val id64 = udf { (u: String) => graft.ops.TextOps.fnv64(u) }
-      Pages.geotag(pages).withColumn("id", id64(col("url")))
+      // 1e12-row north rule. Codegen expression, not a UDF.
+      Pages.geotag(pages)
+        .withColumn("id", graft.functions.GeoExprs.fnv64(col("url")))
         .select("id", "url", "x", "y")
     }
 
@@ -85,7 +85,9 @@ object GraftJob {
           (col("cx") - col("hw")).as("xmin"), (col("cy") - col("hh")).as("ymin"),
           (col("cx") + col("hw")).as("xmax"), (col("cy") + col("hh")).as("ymax"))
         .as[GeoRow]
-      GeoEngine.spatialJoin(pts, boxes, Predicates.INTERSECTS, grid, broadcastS = true)
+      // broadcast-vs-shuffle picked by the size-based chooser, not hard-coded
+      // — this job is the template users copy
+      GeoEngine.spatialJoinAuto(pts, boxes, Predicates.INTERSECTS, grid)
     }
 
     println(s"""{"job":"graft-pipeline","pages":${pages.count()},""" +

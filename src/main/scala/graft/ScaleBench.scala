@@ -69,8 +69,8 @@ object ScaleBench {
     // pages → geotag → tile assignment; aggregate over every output column so
     // the whole pipeline is actually evaluated (a bare count() would let
     // Catalyst prune the projections away)
-    val id64 = udf { (u: String) => graft.ops.TextOps.fnv64(u) }
-    val tagged = Pages.geotag(pages).withColumn("id", id64(col("url")))
+    val tagged = Pages.geotag(pages)
+      .withColumn("id", graft.functions.GeoExprs.fnv64(col("url")))
     val assigns = GeoEngine.tileAssignments(tagged, grid, hexRes = 7)
     val pts = tagged.select(col("id"), lit(GeomType.POINT).as("gtype"),
       array(col("x"), col("y")).as("coords"),

@@ -545,9 +545,8 @@ object SparkEntry {
     }),
     "q_media_features" -> ((s, dir) => {
       val n = if (dir.contains("0.001")) 500L else 2000L
-      val id64 = udf { (u: String) => TextOps.fnv64(u) }
       val pages = Pages.synthesize(s, n).toDF()
-        .withColumn("doc_id", id64(col("url")))
+        .withColumn("doc_id", graft.functions.GeoExprs.fnv64(col("url")))
       Multimodal.extractFeatures(s, Multimodal.withMeta(pages, "html", "image"),
         "html", "image", dims = 16)
         .select(col("doc_id"), col("kind"), col("frames"))

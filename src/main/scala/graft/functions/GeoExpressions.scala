@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, QuinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, QuaternaryExpression, QuinaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
@@ -68,10 +68,14 @@ object GeoKernels {
   }
 }
 
-/** Exact predicate refinement: evalPredicate(pred, (rg, rc), (sg, sc)). */
+/** Exact predicate refinement: evalPredicate(pred, (rg, rc), (sg, sc)).
+  * ExpectsInputTypes so SQL misuse (coords passed as gtype, int arrays, ...)
+  * is an analysis-time error, not a runtime ClassCastException. */
 case class STRefine(predId: Int, rg: Expression, rc: Expression,
                     sg: Expression, sc: Expression)
-    extends QuaternaryExpression {
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(IntegerType, ArrayType(DoubleType), IntegerType, ArrayType(DoubleType))
   override def first: Expression = rg
   override def second: Expression = rc
   override def third: Expression = sg
@@ -92,7 +96,9 @@ case class STRefine(predId: Int, rg: Expression, rc: Expression,
 /** DE-9IM relation classifier with the reference's MBR-case routing. */
 case class STFindRelation(rg: Expression, rc: Expression,
                           sg: Expression, sc: Expression)
-    extends QuaternaryExpression {
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(IntegerType, ArrayType(DoubleType), IntegerType, ArrayType(DoubleType))
   override def first: Expression = rg
   override def second: Expression = rc
   override def third: Expression = sg
@@ -113,7 +119,9 @@ case class STFindRelation(rg: Expression, rc: Expression,
 /** APRIL predicate verdict over (ALL, FULL) interval-list columns. */
 case class AprilVerdict(predId: Int, ra: Expression, rf: Expression,
                         sa: Expression, sf: Expression)
-    extends QuaternaryExpression {
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType), ArrayType(LongType), ArrayType(LongType))
   override def first: Expression = ra
   override def second: Expression = rf
   override def third: Expression = sa
@@ -135,7 +143,10 @@ case class AprilVerdict(predId: Int, ra: Expression, rf: Expression,
 /** APRIL topology intermediate filter (find-relation); -1 = unresolved. */
 case class AprilTopoRel(ra: Expression, rf: Expression, sa: Expression,
                         sf: Expression, mbrCase: Expression)
-    extends QuinaryExpression {
+    extends QuinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType), ArrayType(LongType),
+      ArrayType(LongType), IntegerType)
   override def children: Seq[Expression] = Seq(ra, rf, sa, sf, mbrCase)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "april_topo_rel"
@@ -155,7 +166,9 @@ case class AprilTopoRel(ra: Expression, rf: Expression, sa: Expression,
 case class HilbertCell(x: Expression, y: Expression,
                        xMin: Double, yMin: Double,
                        cellW: Double, cellH: Double, n: Long)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
   override def left: Expression = x
   override def right: Expression = y
   override def dataType: DataType = LongType
@@ -176,7 +189,10 @@ case class HilbertCell(x: Expression, y: Expression,
 case class AprilRasterize(gtype: Expression, coords: Expression,
                           xMin: Double, yMin: Double,
                           xExt: Double, yExt: Double, order: Int)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(IntegerType, ArrayType(DoubleType))
   override def left: Expression = gtype
   override def right: Expression = coords
   override def dataType: DataType = StructType(Seq(
@@ -193,6 +209,41 @@ case class AprilRasterize(gtype: Expression, coords: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): AprilRasterize =
     copy(gtype = newLeft, coords = newRight)
+}
+
+/** FNV-1a 64 over the string's UTF-16 chars — bit-identical to
+  * TextOps.fnv64(String), as a codegen expression. Replaces the ScalaUDF in
+  * the headline geotag/id path: no CatalystTypeConverters, no row wrapper —
+  * one UTF8String→String decode per call inside whole-stage codegen. */
+case class Fnv64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv64"
+  override def nullSafeEval(s: Any): Any = graft.ops.TextOps.fnv64(s.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextOps.fnv64($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): Fnv64 =
+    copy(child = newChild)
+}
+
+/** H3-style hex cell id of a lon/lat point at a fixed resolution (codegen) —
+  * replaces the per-row hexUdf in the tile-assignment path. */
+case class HexCellOf(x: Expression, y: Expression, res: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def left: Expression = x
+  override def right: Expression = y
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hex_cell"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HexGrid.latLngToCell(a.asInstanceOf[Double], b.asInstanceOf[Double], res)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.core.HexGrid.latLngToCell($a, $b, $res)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HexCellOf =
+    copy(x = newLeft, y = newRight)
 }
 
 /** Column-level wrappers. */
@@ -222,4 +273,9 @@ object GeoExprs {
                      xExt: Double, yExt: Double, order: Int): Column =
     GraftColumnBridge.column(AprilRasterize(e(gtype), e(coords),
       xMin, yMin, xExt, yExt, order))
+
+  def fnv64(s: Column): Column = GraftColumnBridge.column(Fnv64(e(s)))
+
+  def hexCellOf(x: Column, y: Column, res: Int): Column =
+    GraftColumnBridge.column(HexCellOf(e(x), e(y), res))
 }

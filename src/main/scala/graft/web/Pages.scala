@@ -3,7 +3,7 @@ package graft.web
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
-import graft.ops.TextOps
+import graft.functions.GeoExprs
 
 /** A Common-Crawl-style web page row (BASELINE.json input_hint schema). */
 final case class Page(url: String, warc_ts: java.sql.Timestamp,
@@ -64,16 +64,17 @@ object Pages {
   }
 
   /** Deterministic geotag from url+text: FNV64 of the url picks the
-    * longitude band, a text fingerprint the latitude — stable per url. */
+    * longitude band, a text fingerprint the latitude — stable per url.
+    * Pure column expressions over the codegen [[graft.functions.Fnv64]]
+    * (pmod ≡ Math.floorMod for a positive modulus; substring counts
+    * characters like String.take on this ASCII corpus) — no ScalaUDF in the
+    * headline tile-assign path. */
   def geotag(pages: DataFrame): DataFrame = {
-    val lonUdf = udf { (url: String) =>
-      (Math.floorMod(TextOps.fnv64(url), 3600000L)) / 10000.0 - 180.0
-    }
-    val latUdf = udf { (url: String, text: String) =>
-      (Math.floorMod(TextOps.fnv64(url + "|" + text.take(64)), 1700000L)) / 10000.0 - 85.0
-    }
-    pages.withColumn("x", lonUdf(col("url")))
-      .withColumn("y", latUdf(col("url"), col("text")))
+    val lon = pmod(GeoExprs.fnv64(col("url")), lit(3600000L)) / 10000.0 - 180.0
+    val lat = pmod(GeoExprs.fnv64(
+      concat(col("url"), lit("|"), substring(col("text"), 1, 64))),
+      lit(1700000L)) / 10000.0 - 85.0
+    pages.withColumn("x", lon).withColumn("y", lat)
   }
 
   /** World grid used for web-scale tiling (fixed bounds → no dataspace scan
@@ -83,8 +84,7 @@ object Pages {
   /** Full pipeline: pages → geotag → Dataset[TileAssignment] on the world
     * grid with H3-style hex cells. */
   def tileAssignments(spark: SparkSession, pages: DataFrame, hexRes: Int = 7): Dataset[graft.TileAssignment] = {
-    val tagged = geotag(pages).withColumn("id",
-      udf { (u: String) => TextOps.fnv64(u) }.apply(col("url")))
+    val tagged = geotag(pages).withColumn("id", GeoExprs.fnv64(col("url")))
     graft.GeoEngine.tileAssignments(tagged, WorldGrid, hexRes)
   }
 }
