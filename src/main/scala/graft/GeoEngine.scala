@@ -557,7 +557,9 @@ object GeoEngine {
     * DISJOINT / CONTAINS / INSIDE / true-hit-INTERSECT pairs from interval
     * algebra alone (the reference's MBR-case-specialized filter,
     * src/APRIL/filter.cpp:189-223); only unresolved pairs reach the exact
-    * DE-9IM refinement. */
+    * DE-9IM refinement. On an all-rectangular (POINT/BOX) workload the
+    * request is ignored: the column fast path is exact, so the APRIL
+    * sub-plan would be pure overhead (SideMeta proves it, plan prunes it). */
   def findRelationJoin(r: Dataset[GeoRow], s: Dataset[GeoRow],
                        grid: GridConfig, useApril: Boolean = false,
                        aprilOrder: Int = AprilOrder,
@@ -568,19 +570,32 @@ object GeoEngine {
     // APRIL interval lists are NOT shipped through the tile explode/shuffle
     // (they dwarf the ring coords); candidates re-join them by id from
     // compact per-object side tables after candidate generation.
-    def ix(ds: Dataset[GeoRow]): DataFrame =
-      if (!useApril) ds.toDF()
-      else if (ds.toDF().columns.contains("april_all")) ds.toDF()
-      else aprilIndex(ds.toDF(), grid, aprilOrder)
-    val rIxDf = ix(r)
-    val sIxDf = ix(s)
-    val rm = rMeta.getOrElse(sideStats(rIxDf, grid, maxFineCover))
-    val sm = sMeta.getOrElse(sideStats(sIxDf, grid, maxFineCover))
+    val rRaw = r.toDF()
+    val sRaw = s.toDF()
+    val rm = rMeta.getOrElse(sideStats(rRaw, grid, maxFineCover))
+    val sm = sMeta.getOrElse(sideStats(sRaw, grid, maxFineCover))
     val anyNonBox = rm.hasNonBox || sm.hasNonBox
+    val rAllPoints = rm.hasRect && !rm.hasBox && !rm.hasNonRect
+    val sAllPoints = sm.hasRect && !sm.hasBox && !sm.hasNonRect
+    // All-box workloads: the pure-column boxRel IS exact, so the whole APRIL
+    // sub-plan (rasterize + two interval re-joins) is provably dead weight —
+    // prune it from the plan. All-point sides never rasterize either: their
+    // single-cell A-list is synthesized inline on the candidate row.
+    val useAprilEff = useApril && anyNonBox
+    def ix(df: DataFrame, allPoints: Boolean): DataFrame =
+      if (!useAprilEff || allPoints) df
+      else if (df.columns.contains("april_all")) df // pre-indexed (buildIndex)
+      else aprilIndex(df, grid, aprilOrder)
+    val rIxDf = ix(rRaw, rAllPoints)
+    val sIxDf = ix(sRaw, sAllPoints)
     val cands = mrCandidates(rIxDf, sIxDf, grid, broadcastS = false,
       saltFactor, maxFineCover, rm.hasWide, sm.hasWide, _ => Nil)
-    val rGeom = rIxDf.select(col("id").as("rid"), col("coords").as("rc"))
-    val sGeom = sIxDf.select(col("id").as("sid"), col("coords").as("sc"))
+    // geometry attach: an all-point side's coords ARE its MBR corner, already
+    // on the candidate row — no re-join
+    def attachGeom(c: DataFrame, df: DataFrame, p: String, idName: String,
+                   allPoints: Boolean): DataFrame =
+      if (allPoints) c.withColumn(p + "c", array(col(p + "xmin"), col(p + "ymin")))
+      else c.join(df.select(col("id").as(idName), col("coords").as(p + "c")), Seq(idName))
     def relExpr: Column =
       GeoExprs.stFindRelation(col("rg"), col("rc"), col("sg"), col("sc"))
 
@@ -618,12 +633,12 @@ object GeoEngine {
         .otherwise(Topology.TR_INTERSECT)
     val bothBox = col("rg") === GeomType.BOX && col("sg") === GeomType.BOX
 
-    if (!useApril) {
+    if (!useAprilEff) {
       if (!anyNonBox)
         cands.select(col("rid"), col("sid"), boxRel.as("relation"))
       else
-        cands
-          .join(rGeom, Seq("rid")).join(sGeom, Seq("sid"))
+        attachGeom(attachGeom(cands, rIxDf, "r", "rid", rAllPoints),
+            sIxDf, "s", "sid", sAllPoints)
           .select(col("rid"), col("sid"),
             when(bothBox, boxRel).otherwise(relExpr).as("relation"))
     } else {
@@ -647,30 +662,31 @@ object GeoEngine {
       // No broadcast hints: APRIL interval arrays scale with geometry size,
       // so forcing either side driver-resident dies at scale (8 GB broadcast
       // cap). These are shuffled equi-joins on id; AQE converts a genuinely
-      // small side to a broadcast at runtime.
-      val rApril = rIxDf.select(col("id").as("rid"),
-        col("april_all").as("ra"), col("april_full").as("rf"))
-      val sApril = sIxDf.select(col("id").as("sid"),
-        col("april_all").as("sa"), col("april_full").as("sf"))
-      val withA = cands
-        .join(rApril, Seq("rid"))
-        .join(sApril, Seq("sid"))
+      // small side to a broadcast at runtime. An all-point side skips the
+      // re-join: its A-list is one Hilbert cell, synthesized inline and
+      // bit-identical to the rasterized form (GeoKernels.pointCell).
+      def attachApril(c: DataFrame, df: DataFrame, p: String, idName: String,
+                      allPoints: Boolean): DataFrame =
+        if (allPoints) {
+          val cell = GeoExprs.hilbertCell(col(p + "xmin"), col(p + "ymin"),
+            grid.xMin, grid.yMin, grid.xExtent, grid.yExtent, aprilOrder)
+          c.withColumn(p + "a", array(cell, cell + lit(1L)))
+            .withColumn(p + "f", typedlit(Array.empty[Long]))
+        } else c.join(df.select(col("id").as(idName),
+          col("april_all").as(p + "a"), col("april_full").as(p + "f")), Seq(idName))
+      val withA = attachApril(attachApril(cands, rIxDf, "r", "rid", rAllPoints),
+          sIxDf, "s", "sid", sAllPoints)
         .withColumn("april_rel",
           GeoExprs.aprilTopoRel(col("ra"), col("rf"), col("sa"), col("sf"), mbrCase))
       // unresolved box pairs fall back to the column fast path; only
-      // unresolved non-box pairs pay the geometry re-join + kernel. All-box
-      // inputs skip the geometry join entirely (single pass either way).
-      if (!anyNonBox)
-        withA.select(col("rid"), col("sid"),
+      // unresolved non-box pairs pay the geometry re-join + kernel
+      // (useAprilEff implies anyNonBox — the all-box case was pruned above).
+      attachGeom(attachGeom(withA, rIxDf, "r", "rid", rAllPoints),
+          sIxDf, "s", "sid", sAllPoints)
+        .select(col("rid"), col("sid"),
           when(col("april_rel") >= 0, col("april_rel"))
-            .otherwise(boxRel).as("relation"))
-      else
-        withA
-          .join(rGeom, Seq("rid")).join(sGeom, Seq("sid"))
-          .select(col("rid"), col("sid"),
-            when(col("april_rel") >= 0, col("april_rel"))
-              .otherwise(when(bothBox, boxRel).otherwise(relExpr))
-              .as("relation"))
+            .otherwise(when(bothBox, boxRel).otherwise(relExpr))
+            .as("relation"))
     }
   }
 

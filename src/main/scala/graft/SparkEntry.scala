@@ -326,10 +326,14 @@ object SparkEntry {
         diamonds(s, dir), Predicates.INTERSECTS, grid,
         useApril = true, aprilOrder = 10)
     }),
+    // topology filter on NON-rectangular geometry (points × diamond
+    // polygons): the interval algebra genuinely resolves DISJOINT/INSIDE
+    // pairs here — all-box workloads prune the APRIL sub-plan entirely
+    // (see FindRelationPlanSpec)
     "q_find_relation_april" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      GeoEngine.findRelationJoin(boxesGeo(partBoxes(s, dir)),
-        boxesGeo(custBoxes(s, dir)), grid, useApril = true, aprilOrder = 10)
+      GeoEngine.findRelationJoin(pointsGeo(orderPoints8(s, dir)),
+        diamonds(s, dir), grid, useApril = true, aprilOrder = 10)
     }),
     "q_distance_join" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -643,22 +647,19 @@ object SparkEntry {
       s"""WITH p AS ($orderPoints8Sql), d AS ($diamondsSql)
          |SELECT p.id AS rid, d.id AS sid FROM p, d
          |WHERE ABS(p.x - d.cx) * d.hh + ABS(p.y - d.cy) * d.hw <= d.hw * d.hh""".stripMargin,
+    // point × diamond topology: strictly-inside → INSIDE(2), on the diamond
+    // boundary → COVERED_BY(4), in the MBR but off the diamond → DISJOINT(0);
+    // dyadic lattices make the |dx|·hh + |dy|·hw vs hw·hh comparison exact
     "q_find_relation_april" ->
-      s"""WITH r AS ($partBoxesSql), s AS ($custBoxesSql)
-         |SELECT r.id AS rid, s.id AS sid,
+      s"""WITH p AS ($orderPoints8Sql), d AS ($diamondsSql)
+         |SELECT p.id AS rid, d.id AS sid,
          |  CASE
-         |    WHEN r.bxmin = s.bxmin AND r.bxmax = s.bxmax
-         |     AND r.bymin = s.bymin AND r.bymax = s.bymax THEN 6
-         |    WHEN r.bxmin <= s.bxmin AND r.bxmax >= s.bxmax
-         |     AND r.bymin <= s.bymin AND r.bymax >= s.bymax THEN 3
-         |    WHEN r.bxmin >= s.bxmin AND r.bxmax <= s.bxmax
-         |     AND r.bymin >= s.bymin AND r.bymax <= s.bymax THEN 2
-         |    WHEN r.bxmin = s.bxmax OR r.bxmax = s.bxmin
-         |      OR r.bymin = s.bymax OR r.bymax = s.bymin THEN 7
-         |    ELSE 1 END AS relation
-         |FROM r, s
-         |WHERE r.bxmin <= s.bxmax AND r.bxmax >= s.bxmin
-         |  AND r.bymin <= s.bymax AND r.bymax >= s.bymin""".stripMargin,
+         |    WHEN ABS(p.x - d.cx) * d.hh + ABS(p.y - d.cy) * d.hw < d.hw * d.hh THEN 2
+         |    WHEN ABS(p.x - d.cx) * d.hh + ABS(p.y - d.cy) * d.hw = d.hw * d.hh THEN 4
+         |    ELSE 0 END AS relation
+         |FROM p, d
+         |WHERE p.x >= d.cx - d.hw AND p.x <= d.cx + d.hw
+         |  AND p.y >= d.cy - d.hh AND p.y <= d.cy + d.hh""".stripMargin,
     "q_distance_join" ->
       s"""WITH r AS ($orderPointsSql), s AS ($supplierPointsSql)
          |SELECT r.id AS rid, s.id AS sid FROM r, s
