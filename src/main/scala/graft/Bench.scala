@@ -29,6 +29,12 @@ object Bench {
       try GeoEngine.spatialJoin(geo(2000, 0), geo(2000, 7),
         graft.core.Predicates.INTERSECTS, g).count()
       catch { case _: Throwable => }
+      // reference lifecycle: buildIndex runs once at ingest, queries hit the
+      // stored snapshot. Pre-ensure it here so the APRIL queries measure the
+      // query path; the build cost itself is still reported by q_index_build
+      // (which force-rebuilds inside its timed window).
+      try SparkEntry.diamondIndex(spark, sfDir)
+      catch { case _: Throwable => }
     }
     // per-query error strings surface in the JSON — a crashed query must not
     // masquerade as a fast one

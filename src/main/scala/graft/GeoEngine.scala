@@ -147,16 +147,27 @@ object GeoEngine {
 
   /** Per-side dispatch metadata (the reference's dataset-metadata /
     * BaseIndex::evaluateQuery chooser analogue): does the side hold any wide
-    * (> maxFineCover fine cells) or non-rectangular objects? Lets the join
-    * planner drop sub-plans that cannot produce rows (coarse-level joins,
-    * geometry re-join + refinement) instead of shuffling for them. */
+    * (> maxFineCover fine cells) or non-rectangular objects, and how hot is
+    * the hottest fine tile (home-tile histogram max — the density statistic
+    * that drives plane-sweep selection, mirroring the reference's
+    * always-sweep kernels on dense tiles)? Lets the join planner drop
+    * sub-plans that cannot produce rows and pick the in-tile sweep where the
+    * O(k²) hash-path filter would melt. */
   final case class SideMeta(hasWide: Boolean, hasNonRect: Boolean,
                             hasNonBox: Boolean, hasRect: Boolean,
-                            hasBox: Boolean)
+                            hasBox: Boolean, maxHomeTileCnt: Long = 0L)
 
-  /** One column-pruned scan computing SideMeta. Compute once at index-build
-    * time (the reference's prepare/partition metadata pass) and pass to
-    * spatialJoin/findRelationJoin for repeated queries over the same data. */
+  /** Home fine tile of the MBR min corner (pure column tile math). */
+  private def homeTileCol(grid: GridConfig): Column =
+    clampIdx(col("xmin"), grid.fineExtX, grid.xMin, grid.globalPpd) +
+      clampIdx(col("ymin"), grid.fineExtY, grid.yMin, grid.globalPpd) *
+        lit(grid.globalPpd.toLong)
+
+  /** One column-pruned pass computing SideMeta (two-stage aggregation: the
+    * per-home-tile partial bounds the shuffle at ≤ ppd² rows). Compute once
+    * at index-build time (the reference's prepare/partition metadata pass)
+    * and pass to spatialJoin/findRelationJoin for repeated queries over the
+    * same data. */
   def sideMeta(ds: Dataset[_], grid: GridConfig,
                maxFineCover: Int = 16): SideMeta =
     sideStats(ds.toDF(), grid, maxFineCover)
@@ -169,11 +180,16 @@ object GeoEngine {
     val nonBox = col("gtype") =!= GeomType.BOX
     val rect = col("gtype") === GeomType.POINT || col("gtype") === GeomType.BOX
     val box = col("gtype") === GeomType.BOX
-    def flag(c: Column) = coalesce(max(when(c, 1).otherwise(0)), lit(0))
-    val row = df.agg(flag(wide), flag(nonRect), flag(nonBox), flag(rect),
-      flag(box)).head()
+    def flag(c: Column) = max(when(c, 1).otherwise(0))
+    val grouped = df.groupBy(homeTileCol(grid).as("t")).agg(
+      count(lit(1)).as("c"), flag(wide).as("w"), flag(nonRect).as("nr"),
+      flag(nonBox).as("nb"), flag(rect).as("re"), flag(box).as("bx"))
+    val row = grouped.agg(
+      coalesce(max("w"), lit(0)), coalesce(max("nr"), lit(0)),
+      coalesce(max("nb"), lit(0)), coalesce(max("re"), lit(0)),
+      coalesce(max("bx"), lit(0)), coalesce(max("c"), lit(0L))).head()
     SideMeta(row.getInt(0) == 1, row.getInt(1) == 1, row.getInt(2) == 1,
-      row.getInt(3) == 1, row.getInt(4) == 1)
+      row.getInt(3) == 1, row.getInt(4) == 1, row.getLong(5))
   }
 
   /** One side's exploded row for the in-tile plane sweep. */
@@ -405,7 +421,8 @@ object GeoEngine {
                   maxFineCover: Int = 16,
                   rMeta: Option[SideMeta] = None,
                   sMeta: Option[SideMeta] = None,
-                  sweep: Boolean = false): DataFrame = {
+                  sweep: Option[Boolean] = None,
+                  hotTileThreshold: Long = 4096L): DataFrame = {
     def ix(df: DataFrame): DataFrame =
       if (!useApril) df
       else if (df.columns.contains("april_all")) df // pre-indexed (buildIndex)
@@ -432,9 +449,16 @@ object GeoEngine {
     val sm = sMeta.getOrElse(sideStats(sIx, grid, maxFineCover))
     val anyNonRect = rm.hasNonRect || sm.hasNonRect
 
+    // Density-driven sweep selection (the reference always sweeps,
+    // intersection_join_filter.cpp:363-489; here the codegen hash path wins
+    // at ordinary density, so the sweep engages only when the dispatch
+    // prepass proves a hot tile): explicit Some(flag) overrides.
+    val sweepFine = sweep.getOrElse(
+      slim && math.max(rm.maxHomeTileCnt, sm.maxHomeTileCnt) > hotTileThreshold)
+
     val cands = mrCandidates(rIx, sIx, grid, broadcastS, saltFactor,
       maxFineCover, rm.hasWide, sm.hasWide,
-      if (slim) _ => Nil else payloadCols, sweepFine = sweep && slim)
+      if (slim) _ => Nil else payloadCols, sweepFine = sweepFine && slim)
 
     def refineExpr: Column =
       GeoExprs.stRefine(pred, col("rg"), col("rc"), col("sg"), col("sc"))
@@ -809,10 +833,7 @@ object GeoEngine {
     // Home tile is the pure-column tile math (codegen) — identical to
     // grid.fineTileOfPoint (floor-then-clamp commutes with clamp-then-floor
     // on the clamped range).
-    val homeTile =
-      clampIdx(col("xmin"), grid.fineExtX, grid.xMin, grid.globalPpd) +
-      clampIdx(col("ymin"), grid.fineExtY, grid.yMin, grid.globalPpd) *
-        lit(grid.globalPpd.toLong)
+    val homeTile = homeTileCol(grid)
     val tileCounts: Map[Long, Long] = points
       .select(homeTile.as("tile"))
       .groupBy("tile").count().collect()

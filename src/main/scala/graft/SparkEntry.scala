@@ -245,6 +245,24 @@ object SparkEntry {
       col("x2").as("xmax"), col("y2").as("ymax")).as[GeoRow]
   }
 
+  // ---- persisted APRIL index (reference lifecycle: buildIndex once, query
+  //      the stored index; API/Hecatoncheir.cpp:509-564) ---------------------
+
+  /** Per-SF index root, content-keyed (table file size) so a regenerated
+    * testdata dir invalidates the cache instead of serving a stale index. */
+  private def idxRoot(dir: String): String = {
+    val f = new java.io.File(s"$dir/part.parquet")
+    s"/tmp/graft_idx/${new java.io.File(dir).getName}_${f.length}"
+  }
+
+  /** The diamond table's persisted APRIL index (order 10): built + committed
+    * once per sf dir; every later query (any JVM) loads the snapshot and its
+    * SideMeta instead of re-rasterizing and re-scanning. */
+  private[graft] def diamondIndex(s: SparkSession, dir: String): graft.store.SpatialIndex.Loaded =
+    graft.store.SpatialIndex.ensure(s, idxRoot(dir), "diamonds_o10", grid, order = 10) {
+      diamonds(s, dir)(s).toDF()
+    }
+
   // ---- flagship -----------------------------------------------------------
 
   /** Flagship: spatial point-in-box join on sf0.001 via the tile engine. */
@@ -319,12 +337,29 @@ object SparkEntry {
         segsGeo(diagSegs(s, dir)), Predicates.DISJOINT, grid)
     }),
     // APRIL-path oracles: the interval verdicts run for real (non-rectangular
-    // geometry), inconclusive pairs fall through to exact refinement
+    // geometry), inconclusive pairs fall through to exact refinement. The
+    // diamond side reads the PERSISTED index snapshot (rasterized once at
+    // build, amortized across queries); the point side synthesizes its
+    // A-list inline — no per-run rasterization anywhere in this plan.
     "q_pip_join_april" -> ((s, dir) => {
       implicit val sp: SparkSession = s
+      import s.implicits._
+      val idx = diamondIndex(s, dir)
+      // slim shuffle, NOT broadcast: in broadcast mode the payload (coords +
+      // interval arrays) rides through the tile explode, multiplying the
+      // broadcast bytes per covered tile — measured 1.5x slower than the
+      // slim exchange + re-join-by-id even at sf0.1
       GeoEngine.spatialJoin(pointsGeo(orderPoints8(s, dir)),
-        diamonds(s, dir), Predicates.INTERSECTS, grid,
-        useApril = true, aprilOrder = 10)
+        idx.df.as[GeoRow], Predicates.INTERSECTS, grid,
+        useApril = true, aprilOrder = 10, sMeta = Some(idx.meta))
+    }),
+    // the buildIndex lifecycle itself, oracle-checked end-to-end: force a
+    // fresh build + commit, read the snapshot back, emit the stored MBRs
+    "q_index_build" -> ((s, dir) => {
+      val built = graft.store.SpatialIndex.build(diamonds(s, dir)(s).toDF(),
+        grid, order = 10, idxRoot(dir), "diamonds_o10")
+      built.df.select(col("id"), col("xmin"), col("ymin"),
+        col("xmax"), col("ymax"))
     }),
     // topology filter on NON-rectangular geometry (points × diamond
     // polygons): the interval algebra genuinely resolves DISJOINT/INSIDE
@@ -332,8 +367,11 @@ object SparkEntry {
     // (see FindRelationPlanSpec)
     "q_find_relation_april" -> ((s, dir) => {
       implicit val sp: SparkSession = s
+      import s.implicits._
+      val idx = diamondIndex(s, dir)
       GeoEngine.findRelationJoin(pointsGeo(orderPoints8(s, dir)),
-        diamonds(s, dir), grid, useApril = true, aprilOrder = 10)
+        idx.df.as[GeoRow], grid, useApril = true, aprilOrder = 10,
+        sMeta = Some(idx.meta))
     }),
     "q_distance_join" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -647,6 +685,11 @@ object SparkEntry {
       s"""WITH p AS ($orderPoints8Sql), d AS ($diamondsSql)
          |SELECT p.id AS rid, d.id AS sid FROM p, d
          |WHERE ABS(p.x - d.cx) * d.hh + ABS(p.y - d.cy) * d.hw <= d.hw * d.hh""".stripMargin,
+    // the persisted index must round-trip every object with its exact MBR
+    "q_index_build" ->
+      s"""WITH d AS ($diamondsSql)
+         |SELECT id, cx - hw AS xmin, cy - hh AS ymin,
+         |  cx + hw AS xmax, cy + hh AS ymax FROM d""".stripMargin,
     // point × diamond topology: strictly-inside → INSIDE(2), on the diamond
     // boundary → COVERED_BY(4), in the MBR but off the diamond → DISJOINT(0);
     // dyadic lattices make the |dx|·hh + |dy|·hw vs hw·hh comparison exact

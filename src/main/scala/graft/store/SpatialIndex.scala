@@ -1,0 +1,81 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GeoEngine
+import graft.core.GridConfig
+
+/**
+ * Persisted spatial index: the reference's prepare → partition → buildIndex →
+ * query-against-the-stored-index lifecycle (API/Hecatoncheir.cpp:509-564;
+ * APRIL sidecar files src/APRIL/storage.cpp:7-53), re-expressed as ONE
+ * tile-partitioned snapshot carrying geometry + APRIL interval-list columns,
+ * with the grid, APRIL order, and SideMeta dispatch statistics recorded in
+ * the manifest lineage.
+ *
+ * `build` pays rasterization + the metadata prepass once at ingest;
+ * `load`/`ensure` hand repeated queries the pre-indexed table plus its
+ * SideMeta so they skip both (the amortization a real deployment gets from
+ * the reference's persist=true APRIL files). Rows are clustered by the
+ * coarse distribution cell of their MBR min corner — the snapshot analogue
+ * of the reference's per-node partition files; a reader scans
+ * locality-clustered row groups and parquet min/max prunes on it.
+ */
+object SpatialIndex {
+
+  final case class Loaded(df: DataFrame, meta: GeoEngine.SideMeta)
+
+  /** Build and commit the index snapshot; returns the loaded (committed)
+    * form, exactly what a later `load` would see. */
+  def build(df: DataFrame, grid: GridConfig, order: Int, root: String,
+            table: String, maxFineCover: Int = 16): Loaded = {
+    val meta = GeoEngine.sideMeta(df, grid, maxFineCover)
+    val homeCoarse =
+      least(greatest(floor((col("xmin") - lit(grid.xMin)) / lit(grid.coarseExtX))
+        .cast("long"), lit(0L)), lit(grid.coarsePpd - 1L)) +
+      least(greatest(floor((col("ymin") - lit(grid.yMin)) / lit(grid.coarseExtY))
+        .cast("long"), lit(0L)), lit(grid.coarsePpd - 1L)) * lit(grid.coarsePpd.toLong)
+    val indexed = GeoEngine.aprilIndex(df, grid, order)
+      .withColumn("home_coarse", homeCoarse)
+      .repartition(col("home_coarse"))
+    Snapshots.commit(indexed, root, table, lineage = Map(
+      "stage" -> "build_index",
+      "april_order" -> order.toString,
+      "grid" -> (s"${grid.xMin},${grid.yMin},${grid.xMax},${grid.yMax}," +
+        s"${grid.coarsePpd},${grid.globalPpd}"),
+      "max_fine_cover" -> maxFineCover.toString,
+      "side_meta" -> metaStr(meta)))
+    load(df.sparkSession, root, table)
+      .getOrElse(sys.error(s"index commit for $table did not become visible"))
+  }
+
+  /** Latest committed index snapshot + its persisted dispatch metadata. */
+  def load(spark: SparkSession, root: String, table: String): Option[Loaded] =
+    Snapshots.load(spark, root, table).map { df =>
+      val meta = Snapshots.latestManifest(root, table)
+        .flatMap(parseMeta)
+        .getOrElse(sys.error(s"index snapshot for $table has no side_meta lineage"))
+      Loaded(df, meta)
+    }
+
+  /** Load the committed index if present, else build + commit it — the
+    * resume semantics of Snapshots.runStage for index snapshots. */
+  def ensure(spark: SparkSession, root: String, table: String,
+             grid: GridConfig, order: Int, maxFineCover: Int = 16)
+            (compute: => DataFrame): Loaded =
+    load(spark, root, table).getOrElse(
+      build(compute, grid, order, root, table, maxFineCover))
+
+  private def metaStr(m: GeoEngine.SideMeta): String =
+    s"${m.hasWide},${m.hasNonRect},${m.hasNonBox},${m.hasRect},${m.hasBox}," +
+      s"${m.maxHomeTileCnt}"
+
+  private val MetaRe = """"side_meta": "([^"]*)"""".r
+
+  private def parseMeta(manifestJson: String): Option[GeoEngine.SideMeta] =
+    MetaRe.findFirstMatchIn(manifestJson).map { mm =>
+      val p = mm.group(1).split(',')
+      GeoEngine.SideMeta(p(0).toBoolean, p(1).toBoolean, p(2).toBoolean,
+        p(3).toBoolean, p(4).toBoolean, p(5).toLong)
+    }
+}

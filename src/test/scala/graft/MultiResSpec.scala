@@ -174,16 +174,41 @@ class MultiResSpec extends AnyFunSuite {
     val s = boxes(32, 400).union(dense(5).toDS())
     for (pred <- Seq(Predicates.INTERSECTS, Predicates.MEET, Predicates.INSIDE)) {
       val viaSweep = pairs(GeoEngine.spatialJoin(r, s, pred, grid,
-        maxFineCover = 16, sweep = true))
+        maxFineCover = 16, sweep = Some(true)))
       val viaHash = pairs(GeoEngine.spatialJoin(r, s, pred, grid,
-        maxFineCover = 16))
+        maxFineCover = 16, sweep = Some(false)))
       assert(viaSweep == viaHash, s"pred=$pred sweep=${viaSweep.size} hash=${viaHash.size}")
     }
     // polygons through the sweep (non-rect refinement downstream unchanged)
     val rp = stars(33, 150)
     val sp = stars(34, 150)
-    assert(pairs(GeoEngine.spatialJoin(rp, sp, Predicates.INTERSECTS, grid, sweep = true)) ==
-           pairs(GeoEngine.spatialJoin(rp, sp, Predicates.INTERSECTS, grid)))
+    assert(pairs(GeoEngine.spatialJoin(rp, sp, Predicates.INTERSECTS, grid, sweep = Some(true))) ==
+           pairs(GeoEngine.spatialJoin(rp, sp, Predicates.INTERSECTS, grid, sweep = Some(false))))
+  }
+
+  test("hot-tile density statistic auto-selects the in-tile sweep") {
+    import spark.implicits._
+    // 300 near-identical tiny boxes share one fine tile — a hot tile the
+    // dispatch prepass must detect (maxHomeTileCnt) and route to the sweep
+    def dense(seed: Int, n: Int) = (0 until n).map { i =>
+      val cx = 10.0 + (i % 7) * 1e-4
+      val cy = 20.0 + ((i * seed) % 5) * 1e-4
+      GeoRow(200000L + i, GeomType.BOX,
+        Array(cx, cy, cx + 0.002, cy, cx + 0.002, cy + 0.002, cx, cy + 0.002, cx, cy),
+        cx, cy, cx + 0.002, cy + 0.002)
+    }.toDS()
+    val r = dense(3, 300)
+    val s = dense(5, 300)
+    val auto = GeoEngine.spatialJoin(r, s, Predicates.INTERSECTS, grid,
+      hotTileThreshold = 64)
+    assert(auto.queryExecution.executedPlan.toString.contains("CoGroup"),
+      "auto plan did not pick the sweep on a hot tile")
+    // under the default threshold the same input stays on the hash path
+    val autoDefault = GeoEngine.spatialJoin(r, s, Predicates.INTERSECTS, grid)
+    assert(!autoDefault.queryExecution.executedPlan.toString.contains("CoGroup"))
+    val hash = pairs(GeoEngine.spatialJoin(r, s, Predicates.INTERSECTS, grid,
+      sweep = Some(false)))
+    assert(pairs(auto) == hash)
   }
 
   test("size-based chooser picks broadcast for small, shuffle for large estimates") {

@@ -71,4 +71,57 @@ class SnapshotSpec extends AnyFunSuite {
     assert(m.snapshotId == 2L) // overwrite-stage the orphan dir
     assert(Snapshots.load(spark, root, "t").get.count() == 7L)
   }
+
+  test("persisted APRIL index: build → load round-trips data, lists and meta") {
+    import spark.implicits._
+    val root = freshRoot()
+    val grid = graft.web.Pages.WorldGrid
+    def diamonds(n: Int) = (0 until n).map { i =>
+      val cx = (i * 13 % 2800) / 8.0 - 175.0
+      val cy = (i * 17 % 1280) / 8.0 - 80.0
+      val hw = (i % 40 + 2) / 8.0; val hh = (i % 30 + 2) / 8.0
+      GeoRow(i.toLong, core.GeomType.POLYGON,
+        Array(cx - hw, cy, cx, cy - hh, cx + hw, cy, cx, cy + hh, cx - hw, cy),
+        cx - hw, cy - hh, cx + hw, cy + hh)
+    }.toDS()
+    def points(n: Int) = (0 until n).map { i =>
+      val x = (i * 7 % 2880) / 8.0 - 180.0
+      val y = (i * 11 % 1360) / 8.0 - 85.0
+      GeoRow(i.toLong, core.GeomType.POINT, Array(x, y), x, y, x, y)
+    }.toDS()
+    var builds = 0
+    def ensure() = graft.store.SpatialIndex.ensure(spark, root, "diamonds",
+      grid, order = 10) { builds += 1; diamonds(300).toDF() }
+    ensure()
+    assert(builds == 1)
+    // resume: a second ensure loads the committed snapshot, no rebuild
+    val again = ensure()
+    assert(builds == 1)
+    // persisted SideMeta round-trips (incl. the density statistic)
+    val fresh = GeoEngine.sideMeta(diamonds(300), grid)
+    assert(again.meta == fresh)
+    // the snapshot carries the interval lists: a query over the loaded index
+    // must NOT re-rasterize, and must equal the query over raw data
+    assert(again.df.columns.contains("april_all"))
+    val overIndex = GeoEngine.spatialJoin(points(2000), again.df.as[GeoRow],
+      core.Predicates.INTERSECTS, grid, useApril = true, aprilOrder = 10,
+      sMeta = Some(again.meta))
+    assert(!overIndex.queryExecution.optimizedPlan.toString
+      .contains("april_rasterize"))
+    val overRaw = GeoEngine.spatialJoin(points(2000), diamonds(300),
+      core.Predicates.INTERSECTS, grid, useApril = true, aprilOrder = 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(overIndex) == pairs(overRaw))
+    // lists in the snapshot are bit-identical to a fresh rasterization
+    val storedLists = again.df
+      .select(col("id"), col("april_all"), col("april_full"))
+      .collect().map(r => (r.getLong(0),
+        (r.getSeq[Long](1).toList, r.getSeq[Long](2).toList))).toMap
+    val freshLists = GeoEngine.aprilIndex(diamonds(300).toDF(), grid, 10)
+      .select(col("id"), col("april_all"), col("april_full"))
+      .collect().map(r => (r.getLong(0),
+        (r.getSeq[Long](1).toList, r.getSeq[Long](2).toList))).toMap
+    assert(storedLists == freshLists)
+  }
 }
