@@ -747,36 +747,71 @@ object GeoEngine {
     * un-indexed data is rasterized lazily. */
   def rangeBatch(data: Dataset[GeoRow], queries: Seq[(Long, Geom)],
                  grid: GridConfig, useApril: Boolean = false,
-                 aprilOrder: Int = AprilOrder): DataFrame = {
+                 aprilOrder: Int = AprilOrder,
+                 maxFineCover: Int = 16): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
     val dIx =
       if (!useApril) data.toDF()
       else if (data.toDF().columns.contains("april_all")) data.toDF()
       else aprilIndex(data.toDF(), grid, aprilOrder)
-    val qRows = queries.flatMap { case (qid, g) =>
-      val m = g.mbr
-      val (qall, qfull) =
-        if (useApril) {
-          val a = April.rasterize(g, grid.xMin, grid.yMin,
-            grid.xExtent, grid.yExtent, aprilOrder)
-          (a.all, a.full)
-        } else (Array.emptyLongArray, Array.emptyLongArray)
-      grid.fineTiles(m).map(t =>
-        (qid, t, g.gtype, g.coords, m.xmin, m.ymin, m.xmax, m.ymax, qall, qfull))
+    // Multi-resolution window covers (the data-side rule applied to the
+    // query side): a window whose fine cover exceeds maxFineCover cells is
+    // broadcast by its COARSE cells instead — a continent-sized window ships
+    // O(coarse cells) rows, not up to globalPpd² fine tiles built on the
+    // driver. Narrow windows keep the fine equi-join (tight pruning).
+    def qRowsFor(sel: Seq[(Long, Geom)], fine: Boolean) = sel.flatMap {
+      case (qid, g) =>
+        val m = g.mbr
+        val (qall, qfull) =
+          if (useApril) {
+            val a = April.rasterize(g, grid.xMin, grid.yMin,
+              grid.xExtent, grid.yExtent, aprilOrder)
+            (a.all, a.full)
+          } else (Array.emptyLongArray, Array.emptyLongArray)
+        val cells: Seq[Long] =
+          if (fine) grid.fineTiles(m).toSeq
+          else {
+            val ci0 = math.min(math.max(grid.coarseX(m.xmin), 0), grid.coarsePpd - 1)
+            val ci1 = math.min(math.max(grid.coarseX(m.xmax), 0), grid.coarsePpd - 1)
+            val cj0 = math.min(math.max(grid.coarseY(m.ymin), 0), grid.coarsePpd - 1)
+            val cj1 = math.min(math.max(grid.coarseY(m.ymax), 0), grid.coarsePpd - 1)
+            (for { j <- cj0 to cj1; i <- ci0 to ci1 } yield grid.coarseId(i, j)).toSeq
+          }
+        cells.map(t =>
+          (qid, t, g.gtype, g.coords, m.xmin, m.ymin, m.xmax, m.ymax, qall, qfull))
     }.toDF("qid", "tile", "qg", "qc", "qxmin", "qymin", "qxmax", "qymax",
       "qall", "qfull")
-    val dt = withTiles2(dIx, grid)
+    val (wideQ, narrowQ) = queries.partition { case (_, g) =>
+      val m = g.mbr
+      (grid.fineX(m.xmax).min(grid.globalPpd - 1).max(0) -
+        grid.fineX(m.xmin).min(grid.globalPpd - 1).max(0) + 1).toLong *
+      (grid.fineY(m.ymax).min(grid.globalPpd - 1).max(0) -
+        grid.fineY(m.ymin).min(grid.globalPpd - 1).max(0) + 1).toLong > maxFineCover
+    }
+
     val mbrOverlap =
       col("xmax") >= col("qxmin") && col("xmin") <= col("qxmax") &&
       col("ymax") >= col("qymin") && col("ymin") <= col("qymax")
-    val refI = least(greatest(
-      floor((greatest(col("xmin"), col("qxmin")) - lit(grid.xMin)) / lit(grid.fineExtX)).cast("long"),
-      lit(0L)), lit(grid.globalPpd - 1L))
-    val refJ = least(greatest(
-      floor((greatest(col("ymin"), col("qymin")) - lit(grid.yMin)) / lit(grid.fineExtY)).cast("long"),
-      lit(0L)), lit(grid.globalPpd - 1L))
-    val dedup = (refI + refJ * grid.globalPpd) === col("tile")
+    // one sub-join per window granularity: data explodes at the matching
+    // level, the reference-point dedup runs at that level
+    def subJoin(qdf: DataFrame, extX: Double, extY: Double, ppd: Int): DataFrame = {
+      val dt = explodeCover(dIx, extX, extY, grid.xMin, grid.yMin, ppd)
+      val refI = clampIdx(greatest(col("xmin"), col("qxmin")), extX, grid.xMin, ppd)
+      val refJ = clampIdx(greatest(col("ymin"), col("qymin")), extY, grid.yMin, ppd)
+      val dedup = (refI + refJ * lit(ppd.toLong)) === col("tile")
+      dt.join(broadcast(qdf), Seq("tile")).where(mbrOverlap && dedup)
+    }
+    val parts = Seq(
+      if (narrowQ.nonEmpty) Some(subJoin(qRowsFor(narrowQ, fine = true),
+        grid.fineExtX, grid.fineExtY, grid.globalPpd)) else None,
+      if (wideQ.nonEmpty) Some(subJoin(qRowsFor(wideQ, fine = false),
+        grid.coarseExtX, grid.coarseExtY, grid.coarsePpd)) else None
+    ).flatten
+    if (parts.isEmpty) return spark.emptyDataFrame
+      .select(lit(0L).as("qid"), lit(0L).as("id")).limit(0)
+    val joined = parts.reduce(_ unionByName _)
+
     def intersectsExpr: Column = GeoExprs.stRefine(Predicates.INTERSECTS,
       col("qg"), col("qc"), col("gtype"), col("coords"))
     // rectangular fast path: for BOX windows over POINT/BOX data the MBR
@@ -792,9 +827,8 @@ object GeoEngine {
         verdict === April.TRUE_HIT ||
           (verdict === April.INCONCLUSIVE && intersectsExpr)
       } else intersectsExpr
-    dt.join(broadcast(qRows), Seq("tile"))
-      .where(mbrOverlap && dedup &&
-        when(rectangular, lit(true)).otherwise(nonRectPredicate))
+    joined
+      .where(when(rectangular, lit(true)).otherwise(nonRectPredicate))
       .select(col("qid"), col("id"))
   }
 

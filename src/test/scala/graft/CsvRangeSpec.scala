@@ -69,6 +69,41 @@ class CsvRangeSpec extends AnyFunSuite {
     assert(on.nonEmpty)
   }
 
+  test("rangeBatch wide windows take the coarse cover (bounded query table)") {
+    import spark.implicits._
+    val grid = graft.web.Pages.WorldGrid
+    val pts = (0 until 4000).map { i =>
+      val x = (i * 7 % 2880) / 8.0 - 180.0
+      val y = (i * 11 % 1360) / 8.0 - 85.0
+      GeoRow(i.toLong, GeomType.POINT, Array(x, y), x, y, x, y)
+    }.toDS()
+    // a continent-sized window (half the world), a hemisphere-tall strip,
+    // and a handful of narrow windows — mixed levels in one batch
+    val wide = Seq(
+      (100L, Geom.box(-180.0, -85.0, 0.0, 85.0)),
+      (101L, Geom.box(10.0, -80.0, 30.0, 80.0)))
+    val narrow = (0 until 6).map { q =>
+      val cx = (q * 29 % 2800) / 8.0 - 175.0
+      val cy = (q * 31 % 1280) / 8.0 - 80.0
+      (q.toLong, Geom.box(cx - 0.5, cy - 0.5, cx + 0.5, cy + 0.5))
+    }
+    val got = GeoEngine.rangeBatch(pts, wide ++ narrow, grid)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force oracle: closed-MBR containment
+    val raw = pts.collect()
+    val want = (wide ++ narrow).flatMap { case (qid, g) =>
+      val m = g.mbr
+      raw.filter(p => p.xmin >= m.xmin && p.xmin <= m.xmax &&
+        p.ymin >= m.ymin && p.ymin <= m.ymax).map(p => (qid, p.id))
+    }.toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    // the half-world window's fine cover is ~436*872 ≈ 380k tiles; its
+    // coarse cover is ≤ 55*109 ≈ 6k cells — the broadcast query table must
+    // stay O(coarse cells), not O(fine tiles)
+    val halfWorldFine = grid.fineTiles(Geom.box(-180.0, -85.0, 0.0, 85.0).mbr).length
+    assert(halfWorldFine > 300000) // the explosion the coarse path avoids
+  }
+
   test("distance join: coarse-level plan ≡ fine-level plan") {
     import spark.implicits._
     val grid = graft.web.Pages.WorldGrid
