@@ -66,8 +66,20 @@ object GeoEngine {
     val declared = {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // fail fast with a clear message: the count-header + line-index recID
+      // semantics require ONE plain, non-empty file (a glob/directory would
+      // silently break the per-line ids)
+      require(fs.exists(p), s"readCsv: $path does not exist")
+      require(fs.getFileStatus(p).isFile,
+        s"readCsv: $path is not a regular file (directories/globs are not " +
+          "supported — recID is the line index within one file)")
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p)))
-      try in.readLine().trim.toLong finally in.close()
+      try {
+        val header = in.readLine()
+        require(header != null && header.trim.nonEmpty,
+          s"readCsv: $path is empty or has a blank count header")
+        header.trim.toLong
+      } finally in.close()
     }
     spark.read.textFile(path).rdd.zipWithIndex()
       .filter { case (_, idx) => idx >= 1 && idx <= declared }

@@ -88,6 +88,13 @@ object Ann {
       .orderBy(udf { (id: Long) => mix(id) }.apply(col("vec_id")))
       .limit(nlist).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1)) }
+    require(centroids.nonEmpty,
+      "ivfTopK: embeddings table is empty — no centroids to build the " +
+        "inverted file from")
+    // fewer rows than nlist: every row is its own centroid; clamp nprobe to
+    // the real cell count so callers get a well-defined (exhaustive) search
+    // instead of a silently degraded structure
+    val nprobeEff = math.min(math.max(nprobe, 1), centroids.length)
     val bcCents = spark.sparkContext.broadcast(centroids)
     def nearestLists(v: Seq[Float], n: Int): Seq[Int] =
       bcCents.value.map { case (i, c) => (i, cosine(v, c)) }
@@ -95,7 +102,7 @@ object Ann {
     val assignUdf = udf { (v: Seq[Float]) => nearestLists(v, 1).head }
     val indexed = embeddings.withColumn("list", assignUdf(col("embedding")))
     val q = queries.flatMap { case (qid, v) =>
-      nearestLists(v, nprobe).map(l => (qid, l, v))
+      nearestLists(v, nprobeEff).map(l => (qid, l, v))
     }.toDF("qid", "list", "qvec")
     val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) => cosine(a, b) }
     val w = org.apache.spark.sql.expressions.Window

@@ -183,10 +183,23 @@ object TextOps {
     * Scale guards (Common Crawl WILL produce mass-duplicated boilerplate):
     *  - buckets larger than `maxBucket` switch from the quadratic a<b
     *    self-join to star linking against the bucket's min doc id — a
-    *    million-document boilerplate bucket emits 10⁶ pairs, not 10¹²,
-    *    and transitive grouping downstream recovers the same dup groups;
+    *    million-document boilerplate bucket emits 10⁶ pairs, not 10¹²;
     *  - verification intersects per-doc precomputed sorted shingle arrays
     *    (no per-pair re-shingling of both texts).
+    *
+    * KNOWN RECALL LOSS in star-linked buckets: each candidate (bmin, doc) is
+    * Jaccard-verified independently, so two docs that are ≥tau similar to
+    * EACH OTHER but both <tau to the bucket-min doc produce no pair from
+    * that bucket. In practice an over-`maxBucket` LSH bucket is a
+    * boilerplate/near-identical cluster where pairwise similarities are all
+    * high, and a dropped pair is usually recovered by one of the other
+    * `bands - 1` bucketings; dedup GROUPS (connected components over the
+    * verified pairs) are what downstream uses, and those stay connected
+    * whenever each doc links to ANY verified neighbor. Callers needing exact
+    * pairwise recall inside mega-buckets should raise `maxBucket` (paying
+    * the quadratic self-join) — the trade is deliberate at the 10¹²-doc
+    * scale target. (simhashDupPairs has NO such loss: its buckets are exact
+    * hamming-0 equality classes, so star links are lossless there.)
     */
   def minhashDedupPairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
                         gram: Int = 5, tau: Double = 0.8,

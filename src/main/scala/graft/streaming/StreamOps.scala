@@ -88,9 +88,17 @@ object StreamOps {
           closed += UserSession(user, st.n, st.startMs, st.lastMs, st.tiles.size)
           st = SessionState(0, -1L, -1L, Seq.empty)
         }
+        // cross-batch disorder (an above-watermark event arriving in a later
+        // micro-batch with ms < state bounds) EXTENDS the open session rather
+        // than regressing it: lastMs/startMs are monotone max/min. A late
+        // event that lands inside an ALREADY-CLOSED session's span cannot
+        // reopen it (append-mode output is immutable) — the watermark delay
+        // bounds that window, same contract as Spark's own session windows.
         st =
           if (st.n == 0) SessionState(1, ms, ms, Seq(tile))
-          else SessionState(st.n + 1, st.startMs, ms, if (st.tiles.contains(tile)) st.tiles else st.tiles :+ tile)
+          else SessionState(st.n + 1, math.min(st.startMs, ms),
+            math.max(st.lastMs, ms),
+            if (st.tiles.contains(tile)) st.tiles else st.tiles :+ tile)
       }
       if (state.hasTimedOut) {
         // event-time timeout: the watermark passed lastMs + gapMs, so the
