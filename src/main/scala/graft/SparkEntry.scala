@@ -401,6 +401,18 @@ object SparkEntry {
         .select(col("id"), col("xmin").as("x"), col("ymin").as("y"))
     }),
 
+    // --- WKT scan (reference load semantics: recID = 0-based line number,
+    //     invalid rows skipped but consume their line number) ---
+    "q_wkt_scan" -> ((s, dir) => {
+      val rows = supplierPoints(s, dir).orderBy("id").collect()
+      val f = new java.io.File(s"/tmp/graft_wkt_${math.abs(dir.hashCode)}.wkt")
+      val w = new java.io.PrintWriter(f)
+      try rows.foreach(r => w.println(s"POINT (${r.getDouble(1)} ${r.getDouble(2)})"))
+      finally w.close()
+      GeoEngine.readWkt(s, f.getPath, GeomType.POINT)
+        .select(col("id"), col("xmin").as("x"), col("ymin").as("y"))
+    }),
+
     // --- range queries ---
     // polygon (diamond) windows with the on-the-fly window APRIL filter
     "q_range_poly_april" -> ((s, dir) => {
@@ -718,6 +730,10 @@ object SparkEntry {
       s"""WITH s AS ($supplierPointsSql)
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS BIGINT) AS id, x, y
          |FROM s""".stripMargin,
+    "q_wkt_scan" ->
+      s"""WITH s AS ($supplierPointsSql)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT) AS id, x, y
+         |FROM s""".stripMargin,
     "q_range_poly_april" ->
       s"""WITH p AS ($orderPoints8Sql),
          |w AS (SELECT CAST(n_nationkey AS BIGINT) AS qid,
@@ -792,5 +808,27 @@ object SparkEntry {
          |  CAST(FLOOR(fi / 8.0) AS BIGINT) + CAST(FLOOR(fj / 8.0) AS BIGINT) * 109 AS coarse_tile,
          |  COUNT(*) AS n
          |FROM t GROUP BY 1, 2""".stripMargin
-  )
+  ) ++ pinnedOracles
+
+  /**
+   * Pinned-fixture oracles for the deterministic hash-based operators whose
+   * math (FNV64, MinHash permutations, SimHash voting, hex axial rounding,
+   * Hilbert rasterization, n-gram language ID, stubbed media decode) is not
+   * expressible in DuckDB SQL. The fixture parquet under
+   * src/test/resources/expected_sf0.01/ is the committed reference output at
+   * sf0.01 — the operator kernels themselves are pinned by sbt-level unit /
+   * property tests; the fixture oracle turns any REGRESSION (changed hash
+   * seed, reordered permutation, altered rounding) into a hard
+   * CORRECTNESS failure instead of an unchecked `no_oracle` row.
+   * (The ANN top-k queries stay fixture-free on purpose: their contract is
+   * recall, gated by planted-neighbor tests, not bit-stable row sets.)
+   */
+  private def pinnedOracles: Map[String, String] = {
+    val root = "/root/repo/src/test/resources/expected_sf0.01"
+    Seq("q_fingerprint", "q_langid", "q_geotag_tiles", "q_hex_vectorize",
+      "q_rasterize", "q_minhash_pairs", "q_simhash_pairs", "q_poly_relations",
+      "q_media_features")
+      .map(q => q -> s"SELECT * FROM read_parquet('$root/$q.parquet')")
+      .toMap
+  }
 }
