@@ -28,6 +28,14 @@ class WebOpsSpec extends AnyFunSuite {
     assert(joined.count() == 500)
   }
 
+  test("headline tile-assign plan is UDF-free (all codegen expressions)") {
+    val assigns = Pages.tileAssignments(spark, Pages.synthesize(spark, 100).toDF())
+    val plan = assigns.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("UDF"), s"ScalaUDF survives in the headline path:\n$plan")
+    assert(plan.contains("fnv64") && plan.contains("hex_cell"),
+      "expected the codegen fnv64/hex_cell expressions in the plan")
+  }
+
   test("pages: tile assignments deterministic and within grid bounds") {
     val t1 = Pages.tileAssignments(spark, Pages.synthesize(spark, 300).toDF()).collect()
     val t2 = Pages.tileAssignments(spark, Pages.synthesize(spark, 300).toDF()).collect()
