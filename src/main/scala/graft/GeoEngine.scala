@@ -434,7 +434,7 @@ object GeoEngine {
                   rMeta: Option[SideMeta] = None,
                   sMeta: Option[SideMeta] = None,
                   sweep: Option[Boolean] = None,
-                  hotTileThreshold: Long = 4096L): DataFrame = {
+                  hotTileThreshold: Long = 8192L): DataFrame = {
     def ix(df: DataFrame): DataFrame =
       if (!useApril) df
       else if (df.columns.contains("april_all")) df // pre-indexed (buildIndex)
@@ -464,7 +464,10 @@ object GeoEngine {
     // Density-driven sweep selection (the reference always sweeps,
     // intersection_join_filter.cpp:363-489; here the codegen hash path wins
     // at ordinary density, so the sweep engages only when the dispatch
-    // prepass proves a hot tile): explicit Some(flag) overrides.
+    // prepass proves a hot tile): explicit Some(flag) overrides. The default
+    // threshold is the measured crossover on this hardware (ScaleBench
+    // hot-tile micro-bench: 8k-object tile ≈ break-even, 30k-object tile
+    // sweep wins >2×; O(k²) vs O(k·window) diverges fast past it).
     val sweepFine = sweep.getOrElse(
       slim && math.max(rm.maxHomeTileCnt, sm.maxHomeTileCnt) > hotTileThreshold)
 

@@ -155,11 +155,50 @@ object ScaleBench {
     }
     require(nExact == nApril, s"APRIL changed results: $nExact vs $nApril")
 
+    // -------- hot-tile micro-bench: density-driven sweep selection ----------
+    // thousands of tiny boxes scattered inside ONE fine tile: the hash path
+    // feeds all k_R×k_S in-tile pairs to the filter; the sweep forward-scans
+    // the y-overlap window only. The SideMeta density statistic must route
+    // this to the sweep automatically (and win).
+    def hotTile(seed: Int, n: Long) = spark.range(n).select(
+      col("id"),
+      lit(GeomType.BOX).as("gtype"),
+      // tile at ~(10,20): fine cell ≈ 0.41°×0.21°; boxes ≈ 0.002° wide
+      (lit(10.05) + (col("id") * (7 + seed) % 1000) / 5000.0).as("cx"),
+      (lit(20.02) + (col("id") * (11 + seed) % 800) / 8000.0).as("cy"))
+      .select(col("id"), col("gtype"),
+        array(col("cx"), col("cy"), col("cx") + 0.002, col("cy"),
+          col("cx") + 0.002, col("cy") + 0.002, col("cx"), col("cy") + 0.002,
+          col("cx"), col("cy")).as("coords"),
+        col("cx").as("xmin"), col("cy").as("ymin"),
+        (col("cx") + 0.002).as("xmax"), (col("cy") + 0.002).as("ymax"))
+      .as[GeoRow]
+    val hotR = hotTile(0, 30000).cache(); val hotS = hotTile(3, 30000).cache()
+    hotR.count(); hotS.count()
+    val hotRMeta = Some(GeoEngine.sideMeta(hotR, grid))
+    val hotSMeta = Some(GeoEngine.sideMeta(hotS, grid))
+    var sweepSec = Double.MaxValue; var hashSec = Double.MaxValue
+    var nSweep = 0L; var nHash = 0L
+    for (_ <- 1 to iters) {
+      val t6 = System.nanoTime()
+      // auto: the density statistic picks the sweep (hot tile > threshold)
+      nSweep = GeoEngine.spatialJoin(hotR, hotS, Predicates.INTERSECTS, grid,
+        rMeta = hotRMeta, sMeta = hotSMeta).count()
+      val t7 = System.nanoTime()
+      nHash = GeoEngine.spatialJoin(hotR, hotS, Predicates.INTERSECTS, grid,
+        rMeta = hotRMeta, sMeta = hotSMeta, sweep = Some(false)).count()
+      val t8 = System.nanoTime()
+      sweepSec = math.min(sweepSec, (t7 - t6) / 1e9)
+      hashSec = math.min(hashSec, (t8 - t7) / 1e9)
+    }
+    require(nSweep == nHash, s"sweep changed results: $nSweep vs $nHash")
+
     val total = tileSec + joinSec
     println(s"""{"metric":"scale_headline","cpus":$cpus,"pages":$nPages,""" +
       s""""tile_assign_sec":$tileSec,"join_sec":$joinSec,"total_sec":$total,""" +
       s""""rows_per_sec":${(nPages / total).toLong},"assigned":$nAssigned,"joined":$nJoined,""" +
-      s""""poly_join_exact_sec":$exactSec,"poly_join_april_sec":$aprilSec,"poly_pairs":$nExact}""")
+      s""""poly_join_exact_sec":$exactSec,"poly_join_april_sec":$aprilSec,"poly_pairs":$nExact,""" +
+      s""""hot_tile_sweep_sec":$sweepSec,"hot_tile_hash_sec":$hashSec,"hot_tile_pairs":$nSweep}""")
     spark.stop()
   }
 }
