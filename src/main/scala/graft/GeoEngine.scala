@@ -182,26 +182,38 @@ object GeoEngine {
     * same data. */
   def sideMeta(ds: Dataset[_], grid: GridConfig,
                maxFineCover: Int = 16): SideMeta =
-    sideStats(ds.toDF(), grid, maxFineCover)
+    sideStats(ds.toDF(), grid, maxFineCover, withDensity = true)
 
-  private def sideStats(df: DataFrame, grid: GridConfig,
-                        maxFineCover: Int): SideMeta = {
+  /** `withDensity = false` skips the per-home-tile partial (one flat agg, no
+    * exchange) for callers that won't consult maxHomeTileCnt — e.g. a
+    * broadcast join, or a caller that fixed `sweep` explicitly. Index-build
+    * time always computes the full statistics. */
+  private def sideStats(df: DataFrame, grid: GridConfig, maxFineCover: Int,
+                        withDensity: Boolean): SideMeta = {
     val wide = fineCoverCnt(grid) > maxFineCover
     val nonRect = col("gtype") === GeomType.LINESTRING ||
       col("gtype") === GeomType.POLYGON
     val nonBox = col("gtype") =!= GeomType.BOX
     val rect = col("gtype") === GeomType.POINT || col("gtype") === GeomType.BOX
     val box = col("gtype") === GeomType.BOX
-    def flag(c: Column) = max(when(c, 1).otherwise(0))
-    val grouped = df.groupBy(homeTileCol(grid).as("t")).agg(
-      count(lit(1)).as("c"), flag(wide).as("w"), flag(nonRect).as("nr"),
-      flag(nonBox).as("nb"), flag(rect).as("re"), flag(box).as("bx"))
-    val row = grouped.agg(
-      coalesce(max("w"), lit(0)), coalesce(max("nr"), lit(0)),
-      coalesce(max("nb"), lit(0)), coalesce(max("re"), lit(0)),
-      coalesce(max("bx"), lit(0)), coalesce(max("c"), lit(0L))).head()
-    SideMeta(row.getInt(0) == 1, row.getInt(1) == 1, row.getInt(2) == 1,
-      row.getInt(3) == 1, row.getInt(4) == 1, row.getLong(5))
+    if (!withDensity) {
+      def flag0(c: Column) = coalesce(max(when(c, 1).otherwise(0)), lit(0))
+      val row = df.agg(flag0(wide), flag0(nonRect), flag0(nonBox), flag0(rect),
+        flag0(box)).head()
+      SideMeta(row.getInt(0) == 1, row.getInt(1) == 1, row.getInt(2) == 1,
+        row.getInt(3) == 1, row.getInt(4) == 1, 0L)
+    } else {
+      def flag(c: Column) = max(when(c, 1).otherwise(0))
+      val grouped = df.groupBy(homeTileCol(grid).as("t")).agg(
+        count(lit(1)).as("c"), flag(wide).as("w"), flag(nonRect).as("nr"),
+        flag(nonBox).as("nb"), flag(rect).as("re"), flag(box).as("bx"))
+      val row = grouped.agg(
+        coalesce(max("w"), lit(0)), coalesce(max("nr"), lit(0)),
+        coalesce(max("nb"), lit(0)), coalesce(max("re"), lit(0)),
+        coalesce(max("bx"), lit(0)), coalesce(max("c"), lit(0L))).head()
+      SideMeta(row.getInt(0) == 1, row.getInt(1) == 1, row.getInt(2) == 1,
+        row.getInt(3) == 1, row.getInt(4) == 1, row.getLong(5))
+    }
   }
 
   /** One side's exploded row for the in-tile plane sweep. */
@@ -457,8 +469,12 @@ object GeoEngine {
     def geomTable(df: DataFrame, p: String, idName: String): DataFrame =
       df.select((col("id").as(idName) +: payloadCols(p)): _*)
 
-    val rm = rMeta.getOrElse(sideStats(rIx, grid, maxFineCover))
-    val sm = sMeta.getOrElse(sideStats(sIx, grid, maxFineCover))
+    // the density histogram only matters when the sweep decision is open
+    // AND the join shuffles — broadcast joins and explicit sweep flags get
+    // the cheap flat prepass
+    val needDensity = slim && sweep.isEmpty
+    val rm = rMeta.getOrElse(sideStats(rIx, grid, maxFineCover, needDensity))
+    val sm = sMeta.getOrElse(sideStats(sIx, grid, maxFineCover, needDensity))
     val anyNonRect = rm.hasNonRect || sm.hasNonRect
 
     // Density-driven sweep selection (the reference always sweeps,
@@ -611,8 +627,10 @@ object GeoEngine {
     // compact per-object side tables after candidate generation.
     val rRaw = r.toDF()
     val sRaw = s.toDF()
-    val rm = rMeta.getOrElse(sideStats(rRaw, grid, maxFineCover))
-    val sm = sMeta.getOrElse(sideStats(sRaw, grid, maxFineCover))
+    val rm = rMeta.getOrElse(sideStats(rRaw, grid, maxFineCover,
+      withDensity = false))
+    val sm = sMeta.getOrElse(sideStats(sRaw, grid, maxFineCover,
+      withDensity = false))
     val anyNonBox = rm.hasNonBox || sm.hasNonBox
     val rAllPoints = rm.hasRect && !rm.hasBox && !rm.hasNonRect
     val sAllPoints = sm.hasRect && !sm.hasBox && !sm.hasNonRect

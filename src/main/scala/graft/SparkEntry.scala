@@ -827,7 +827,7 @@ object SparkEntry {
     val root = "/root/repo/src/test/resources/expected_sf0.01"
     Seq("q_fingerprint", "q_langid", "q_geotag_tiles", "q_hex_vectorize",
       "q_rasterize", "q_minhash_pairs", "q_simhash_pairs", "q_poly_relations",
-      "q_media_features")
+      "q_media_features", "q_embed_dedup")
       .map(q => q -> s"SELECT * FROM read_parquet('$root/$q.parquet')")
       .toMap
   }

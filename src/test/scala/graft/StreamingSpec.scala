@@ -62,6 +62,39 @@ class StreamingSpec extends AnyFunSuite {
            again.map(s => (s.user_id, s.start_ms, s.n_events)).toSet)
   }
 
+  test("sessionize: above-watermark disorder across micro-batches extends, " +
+      "never regresses, the open session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val grid = Pages.WorldGrid
+    val t0 = 1600000000L
+    val ms = MemoryStream[(Long, Long)]
+    val df = ms.toDS().toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val q = StreamOps.sessionize(df, grid, watermarkDelay = "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("disorder_sessions").start()
+    // batch 1: user 1 at t0 and t0+10min
+    ms.addData((1L, t0), (1L, t0 + 600))
+    q.processAllAvailable()
+    // batch 2: an OUT-OF-ORDER user-1 event at t0+5min (before the state's
+    // lastMs, above the watermark) + a watermark-driver user far ahead
+    ms.addData((1L, t0 + 300), (99L, t0 + 14400))
+    q.processAllAvailable()
+    // batch 3: push the watermark again so user 1's timeout actually fires
+    ms.addData((99L, t0 + 18000))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("disorder_sessions").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 == 1L)
+    // the disorder event joined its session: 3 events, span [t0, t0+600] —
+    // NOT a session ending at the late event's t0+300
+    assert(closed.toSeq == Seq((1L, 3, t0 * 1000L, (t0 + 600) * 1000L)),
+      s"got ${closed.toSeq}")
+  }
+
   test("sessionize streaming (event-time timeout) == batch closed sessions") {
     val grid = Pages.WorldGrid
     val batchDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
