@@ -55,6 +55,45 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(pairs((1L, 5L)) == ((false, false, false, Topology.TR_DISJOINT)))
   }
 
+  test("type misuse from SQL is an analysis-time error, not a runtime crash") {
+    mkView()
+    // coords passed where gtype belongs (array<double> vs int): the analyzer
+    // must reject it (ExpectsInputTypes), not compile code that ClassCastExceptions
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT st_intersects(a.coords, a.coords, b.gtype, b.coords)
+          |FROM geoms a JOIN geoms b ON a.id < b.id""".stripMargin).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+    // int arrays where array<long> interval lists belong → analysis error too
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT april_verdict(1, array('a','b'), array('c'), array('d'), array('e'))")
+        .collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("type"))
+  }
+
+  test("codegen fnv64/hex expressions agree with the Scala kernels") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val samples = Seq("", "a", "hello world", "https://site-42.example/page/7",
+      "ünïcodé ßtring €é", "tab\tand\nnewline", "世界")
+    val df = samples.toDF("s")
+      .withColumn("h", graft.functions.GeoExprs.fnv64(col("s")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach { s =>
+      assert(df(s) == graft.ops.TextOps.fnv64(s), s"fnv64 mismatch for '$s'")
+    }
+    val pts = Seq((-179.9, -84.3), (0.0, 0.0), (13.37, 52.52), (179.9, 84.9))
+    val hexDf = pts.toDF("x", "y")
+      .withColumn("c", graft.functions.GeoExprs.hexCellOf(col("x"), col("y"), 7))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(hexDf((x, y)) == core.HexGrid.latLngToCell(x, y, 7))
+    }
+  }
+
   test("st_* predicates in a SQL join filter use codegen (no ScalaUDF in plan)") {
     mkView()
     val df = spark.sql(
