@@ -451,6 +451,38 @@ object GeoEngine {
       if (!useApril) df
       else if (df.columns.contains("april_all")) df // pre-indexed (buildIndex)
       else aprilIndex(df, grid, aprilOrder)
+    // EQUAL fast plan: point-set-equal geometries have bit-identical MBRs
+    // (same coordinate multiset → same min/max extremes), so the candidate
+    // set IS the equi-join on the four MBR doubles — no tile explode, no
+    // shuffle amplification, no reference-point dedup. Catalyst normalizes
+    // -0.0/NaN join keys; AQE picks broadcast vs shuffle. Rectangular pairs
+    // are decided by the join itself (a POINT and a non-degenerate BOX can
+    // never share an MBR); non-rectangular pairs reach exact refinement.
+    if (pred == Predicates.EQUAL) {
+      val rm0 = rMeta.getOrElse(sideStats(r.toDF(), grid, maxFineCover,
+        withDensity = false))
+      val sm0 = sMeta.getOrElse(sideStats(s.toDF(), grid, maxFineCover,
+        withDensity = false))
+      val anyNonRect0 = rm0.hasNonRect || sm0.hasNonRect
+      def side0(df: DataFrame, p: String, idName: String) = {
+        val base = Seq(col("id").as(idName), col("gtype").as(p + "g"),
+          col("xmin").as(p + "k1"), col("ymin").as(p + "k2"),
+          col("xmax").as(p + "k3"), col("ymax").as(p + "k4"))
+        df.select((if (anyNonRect0) base :+ col("coords").as(p + "c")
+                   else base): _*)
+      }
+      val joined = side0(r.toDF(), "r", "rid").join(side0(s.toDF(), "s", "sid"),
+        col("rk1") === col("sk1") && col("rk2") === col("sk2") &&
+        col("rk3") === col("sk3") && col("rk4") === col("sk4"))
+      val rect0 =
+        (col("rg") === GeomType.POINT || col("rg") === GeomType.BOX) &&
+        (col("sg") === GeomType.POINT || col("sg") === GeomType.BOX)
+      val out =
+        if (!anyNonRect0) joined
+        else joined.where(rect0 ||
+          GeoExprs.stRefine(pred, col("rg"), col("rc"), col("sg"), col("sc")))
+      return out.select(col("rid"), col("sid"))
+    }
     val rIx = ix(r.toDF())
     val sIx = ix(s.toDF())
     // In broadcast mode the build side ships whole (one pass, no shuffle), so
