@@ -386,6 +386,76 @@ object GeoEngine {
   }
 
   /**
+   * Candidate pairs for CONTAINMENT predicates (INSIDE/COVERED_BY: r ⊆ s;
+   * CONTAINS/COVERS: s ⊆ r). A contained object's MBR min corner lies inside
+   * the container's MBR, so joining the INNER side's single home cell against
+   * the OUTER side's cell cover finds every containment pair exactly once:
+   * the inner side (at 10¹² rows, usually the probe) ships ONE row per
+   * object through the shuffle — explode factor 1.0 — and no reference-point
+   * dedup is needed. Two disjoint sub-joins by the outer object's level
+   * (narrow: fine grid; wide: coarse grid), like mrCandidates. Pairs failing
+   * closed MBR containment drop before the exact predicate.
+   */
+  private def containmentCandidates(rIx: DataFrame, sIx: DataFrame,
+      grid: GridConfig, broadcastS: Boolean, saltFactor: Int,
+      maxFineCover: Int, outerHasWide: Boolean,
+      payload: String => Seq[Column], innerIsR: Boolean): DataFrame = {
+    val slim = !broadcastS
+    val wide = fineCoverCnt(grid) > maxFineCover
+
+    def cells(df: DataFrame, p: String, idName: String, fine: Boolean,
+              home: Boolean, sel: Int): DataFrame = {
+      val filtered = sel match {
+        case -1 => df.where(!wide)
+        case 1  => df.where(wide)
+        case _  => df
+      }
+      val (extX, extY, ppd) =
+        if (fine) (grid.fineExtX, grid.fineExtY, grid.globalPpd)
+        else (grid.coarseExtX, grid.coarseExtY, grid.coarsePpd)
+      val withTile =
+        if (home) filtered.withColumn("tile",
+          clampIdx(col("xmin"), extX, grid.xMin, ppd) +
+            clampIdx(col("ymin"), extY, grid.yMin, ppd) * lit(ppd.toLong))
+        else explodeCover(filtered, extX, extY, grid.xMin, grid.yMin, ppd)
+      val base = Seq(col("tile"), col("id").as(idName), col("gtype").as(p + "g"),
+        col("xmin").as(p + "xmin"), col("ymin").as(p + "ymin"),
+        col("xmax").as(p + "xmax"), col("ymax").as(p + "ymax"))
+      withTile.select((if (slim) base else base ++ payload(p)): _*)
+    }
+
+    val (inner, innerP, innerId) = if (innerIsR) (rIx, "r", "rid") else (sIx, "s", "sid")
+    val (outer, outerP, outerId) = if (innerIsR) (sIx, "s", "sid") else (rIx, "r", "rid")
+
+    val innerInOuter =
+      col(innerP + "xmin") >= col(outerP + "xmin") &&
+      col(innerP + "xmax") <= col(outerP + "xmax") &&
+      col(innerP + "ymin") >= col(outerP + "ymin") &&
+      col(innerP + "ymax") <= col(outerP + "ymax")
+
+    def bc(df: DataFrame, isS: Boolean) =
+      if (broadcastS && isS) broadcast(df) else df
+    def subJoin(it0: DataFrame, ot0: DataFrame): DataFrame = {
+      val salted = saltFactor > 1 && slim
+      val it = if (salted)
+        it0.withColumn("salt", pmod(hash(col(innerId)), lit(saltFactor))) else it0
+      val ot = if (salted)
+        ot0.withColumn("salt", explode(sequence(lit(0), lit(saltFactor - 1)))) else ot0
+      val keys = if (salted) Seq("tile", "salt") else Seq("tile")
+      bc(it, innerId == "sid").join(bc(ot, outerId == "sid"), keys)
+        .where(innerInOuter).drop("tile", "salt")
+    }
+    val parts = Seq(
+      Some(subJoin(cells(inner, innerP, innerId, fine = true, home = true, 0),
+        cells(outer, outerP, outerId, fine = true, home = false, -1))),
+      if (outerHasWide) Some(subJoin(
+        cells(inner, innerP, innerId, fine = false, home = true, 0),
+        cells(outer, outerP, outerId, fine = false, home = false, 1))) else None
+    ).flatten
+    parts.reduce(_ unionByName _)
+  }
+
+  /**
    * APRIL index build: adds `april_all` / `april_full` interval-list columns,
    * rasterizing each object exactly once (the reference's buildAPRIL,
    * src/containers.cpp:300-334, as lazy columns instead of sidecar files).
@@ -519,9 +589,20 @@ object GeoEngine {
     val sweepFine = sweep.getOrElse(
       slim && math.max(rm.maxHomeTileCnt, sm.maxHomeTileCnt) > hotTileThreshold)
 
-    val cands = mrCandidates(rIx, sIx, grid, broadcastS, saltFactor,
-      maxFineCover, rm.hasWide, sm.hasWide,
-      if (slim) _ => Nil else payloadCols, sweepFine = sweepFine && slim)
+    // containment predicates take the home-cell candidate plan (probe side
+    // ships one row per object; no dedup); everything else multi-res tiles
+    val contRinS = pred == Predicates.INSIDE || pred == Predicates.COVERED_BY
+    val contSinR = pred == Predicates.CONTAINS || pred == Predicates.COVERS
+    val cands =
+      if (contRinS || contSinR)
+        containmentCandidates(rIx, sIx, grid, broadcastS, saltFactor,
+          maxFineCover,
+          outerHasWide = if (contRinS) sm.hasWide else rm.hasWide,
+          payload = if (slim) _ => Nil else payloadCols,
+          innerIsR = contRinS)
+      else mrCandidates(rIx, sIx, grid, broadcastS, saltFactor,
+        maxFineCover, rm.hasWide, sm.hasWide,
+        if (slim) _ => Nil else payloadCols, sweepFine = sweepFine && slim)
 
     def refineExpr: Column =
       GeoExprs.stRefine(pred, col("rg"), col("rc"), col("sg"), col("sc"))
