@@ -583,6 +583,18 @@ object SparkEntry {
         (size(col("april_full")) / 2).cast("long").as("n_full_intervals"))
     }),
 
+    // --- stream-static spatial join (region tagging; batch-checked here,
+    //     stream == batch asserted in StreamingSpec) ---
+    "q_region_tag" -> ((s, dir) => {
+      val regions = nationWindows(s, dir).select(
+        col("qid").as("region_id"), col("wxmin").as("xmin"),
+        col("wymin").as("ymin"), col("wxmax").as("xmax"),
+        col("wymax").as("ymax"))
+      graft.streaming.StreamOps.regionTag(
+        s.read.parquet(s"$dir/events.parquet"), regions, grid)
+        .select(col("event_id"), col("region_id"))
+    }),
+
     // --- stateful sessionization (streaming op, batch-checked vs oracle) ---
     "q_sessions" -> ((s, dir) => {
       graft.streaming.StreamOps.sessionize(
@@ -773,6 +785,13 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_lang_dist" ->
       "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+    "q_region_tag" ->
+      s"""WITH e AS (SELECT event_id,
+         |  (user_id * 7 % 3600) / 10.0 - 180.0 AS x,
+         |  (user_id * 11 % 1700) / 10.0 - 85.0 AS y FROM events),
+         |w AS ($nationWindowsSql)
+         |SELECT e.event_id AS event_id, w.qid AS region_id FROM e, w
+         |WHERE x >= wxmin AND x <= wxmax AND y >= wymin AND y <= wymax""".stripMargin,
     "q_sessions" ->
       s"""WITH e AS (SELECT user_id, ts,
          |  CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000 AS ms,

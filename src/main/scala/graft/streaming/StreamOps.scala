@@ -140,6 +140,33 @@ object StreamOps {
   }
 
   /**
+   * Stream-static spatial join: tag a geotagged event stream with the static
+   * region(s) each event falls in — the tile engine inside a stream. The
+   * event's single home tile equi-joins the static side's exploded tile
+   * cover (a stream-static equi-join, natively supported by Structured
+   * Streaming: the static side plans once and broadcasts/reuses across
+   * micro-batches; no state, no watermark needed). Exactly-once per
+   * (event, region): a point sits in one tile, and the region's cover
+   * contains that tile at most once.
+   *
+   * `regions`: static DataFrame with (region_id, xmin, ymin, xmax, ymax).
+   * Works identically on a batch events DataFrame (the oracle path).
+   */
+  def regionTag(events: DataFrame, regions: DataFrame, grid: GridConfig): DataFrame = {
+    val tagged = withTileColumns(geotagEvents(events), grid)
+    val cover = graft.GeoEngine.withTiles2(
+      regions.select(col("region_id"), lit(graft.core.GeomType.BOX).as("gtype"),
+        col("xmin"), col("ymin"), col("xmax"), col("ymax")), grid)
+      .select(col("tile"), col("region_id"),
+        col("xmin").as("rxmin"), col("ymin").as("rymin"),
+        col("xmax").as("rxmax"), col("ymax").as("rymax"))
+    tagged.join(cover, Seq("tile"))
+      .where(col("x") >= col("rxmin") && col("x") <= col("rxmax") &&
+        col("y") >= col("rymin") && col("y") <= col("rymax"))
+      .drop("rxmin", "rymin", "rxmax", "rymax")
+  }
+
+  /**
    * Windowed per-coarse-tile aggregation with watermarking: counts + value
    * sums per (event-time window, coarse tile). Works identically on a
    * streaming or batch DataFrame — the streaming test drives it with

@@ -186,6 +186,35 @@ class MultiResSpec extends AnyFunSuite {
            pairs(GeoEngine.spatialJoin(rp, sp, Predicates.INTERSECTS, grid, sweep = Some(false))))
   }
 
+  test("EQUAL plan is a plain MBR equi-join — no tile explode anywhere") {
+    val df = GeoEngine.spatialJoin(boxes(51, 300), boxes(52, 300),
+      Predicates.EQUAL, grid)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"tile explode in EQUAL plan:\n$plan")
+    assert(plan.contains("Join"), plan.take(300))
+  }
+
+  test("containment plan: contained side ships home cells only (one Generate)") {
+    import spark.implicits._
+    // narrow boxes only → single fine-level sub-join; the outer (container)
+    // side explodes its cover, the inner side must NOT explode
+    def narrow(seed: Int, n: Int) = (0 until n).map { i =>
+      val k = i * 31 + seed
+      val cx = (k * 13 % 2800) / 8.0 - 175.0
+      val cy = (k * 17 % 1280) / 8.0 - 80.0
+      val hw = ((k % 2) + 1) / 16.0; val hh = ((k % 2) + 1) / 16.0
+      GeoRow(i.toLong, GeomType.BOX,
+        Array(cx - hw, cy - hh, cx + hw, cy - hh, cx + hw, cy + hh,
+          cx - hw, cy + hh, cx - hw, cy - hh),
+        cx - hw, cy - hh, cx + hw, cy + hh)
+    }.toDS()
+    val df = GeoEngine.spatialJoin(narrow(61, 300), narrow(62, 300),
+      Predicates.INSIDE, grid)
+    val plan = df.queryExecution.executedPlan.toString
+    val generates = "Generate".r.findAllIn(plan).length
+    assert(generates == 1, s"expected 1 explode (outer cover), got $generates:\n$plan")
+  }
+
   test("hot-tile density statistic auto-selects the in-tile sweep") {
     import spark.implicits._
     // 300 near-identical tiny boxes share one fine tile — a hot tile the

@@ -62,6 +62,37 @@ class StreamingSpec extends AnyFunSuite {
            again.map(s => (s.user_id, s.start_ms, s.n_events)).toSet)
   }
 
+  test("stream-static spatial region tagging == batch result") {
+    import org.apache.spark.sql.functions._
+    val grid = Pages.WorldGrid
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = spark.read.parquet(s"$dir/events.parquet")
+    val regions = spark.range(12).select(
+      col("id").as("region_id"),
+      ((col("id") * 29 % 2800) / 8.0 - 175.0 - 3.0).as("xmin"),
+      ((col("id") * 31 % 1280) / 8.0 - 80.0 - 2.5).as("ymin"),
+      ((col("id") * 29 % 2800) / 8.0 - 175.0 + 3.0).as("xmax"),
+      ((col("id") * 31 % 1280) / 8.0 - 80.0 + 2.5).as("ymax"))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.regionTag(df, regions, grid)
+        .select(col("event_id"), col("region_id"))
+    val batch = shape(batchDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_regtag")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = shape(spark.readStream.schema(batchDf.schema).parquet(streamDir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("region_tag")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("region_tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+  }
+
   test("sessionize: above-watermark disorder across micro-batches extends, " +
       "never regresses, the open session") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
