@@ -535,13 +535,12 @@ object SparkEntry {
     // --- embedding-cosine near-dup (LSH buckets + exact rescoring) ---
     "q_embed_dedup" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val sigUdf = udf { (v: Seq[Float], t: Int) => Ann.lshSignature(v, 8, 42L + t) }
       val tables = s.range(4).select(col("id").cast("int").as("t"))
       val banded = emb.crossJoin(tables)
-        .withColumn("bucket", sigUdf(col("embedding"), col("t")))
+        .withColumn("bucket", graft.functions.GeoExprs.lshSig(col("embedding"),
+          lit(42L) + col("t").cast("long"), 8))
       val l = banded.select(col("t"), col("bucket"), col("vec_id").as("a"))
       val r = banded.select(col("t"), col("bucket"), col("vec_id").as("b"))
-      val cosUdf = udf { (x: Seq[Float], y: Seq[Float]) => Ann.cosine(x, y) }
       // distinct over (a, b) id pairs only; vectors re-join by id afterwards
       // (a distinct carrying both float arrays shuffles the full vectors)
       val vecs = emb.select(col("vec_id"), col("embedding"))
@@ -549,7 +548,7 @@ object SparkEntry {
         .select(col("a"), col("b")).distinct()
         .join(vecs.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
         .join(vecs.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
-        .where(cosUdf(col("ea"), col("eb")) >= 0.3)
+        .where(graft.functions.GeoExprs.cosineSim(col("ea"), col("eb")) >= 0.3)
         .select(col("a"), col("b"))
     }),
 

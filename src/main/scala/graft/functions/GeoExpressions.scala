@@ -246,6 +246,50 @@ case class HexCellOf(x: Expression, y: Expression, res: Int)
     copy(x = newLeft, y = newRight)
 }
 
+/** Random-hyperplane LSH signature of an embedding (codegen): the ANN
+  * family's per-row hot kernel — raw ArrayData in, primitive float array,
+  * no Seq boxing. The seed is a column so per-table salting
+  * (seed + tableId) stays inside one whole-stage-codegen'd projection. */
+case class LshSig(vec: Expression, seed: Expression, nBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), LongType)
+  override def left: Expression = vec
+  override def right: Expression = seed
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_sig"
+  override def nullSafeEval(v: Any, s: Any): Any =
+    graft.ops.Ann.lshSignatureArr(
+      v.asInstanceOf[ArrayData].toFloatArray(), nBits, s.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, s) =>
+      s"graft.ops.Ann.lshSignatureArr($v.toFloatArray(), $nBits, $s)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LshSig =
+    copy(vec = newLeft, seed = newRight)
+}
+
+/** Cosine similarity of two float-array embeddings (codegen). */
+case class CosineSim(a: Expression, b: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override def nullSafeEval(x: Any, y: Any): Any =
+    graft.ops.Ann.cosineArr(x.asInstanceOf[ArrayData].toFloatArray(),
+      y.asInstanceOf[ArrayData].toFloatArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.ops.Ann.cosineArr($x.toFloatArray(), $y.toFloatArray())")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(a = newLeft, b = newRight)
+}
+
 /** Column-level wrappers. */
 object GeoExprs {
   private def e(c: Column): Expression = GraftColumnBridge.expression(c)
@@ -278,4 +322,10 @@ object GeoExprs {
 
   def hexCellOf(x: Column, y: Column, res: Int): Column =
     GraftColumnBridge.column(HexCellOf(e(x), e(y), res))
+
+  def lshSig(vec: Column, seed: Column, nBits: Int): Column =
+    GraftColumnBridge.column(LshSig(e(vec), e(seed), nBits))
+
+  def cosineSim(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSim(e(a), e(b)))
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import graft.functions.GeoExprs
 
 /**
  * Similarity search over an embedding column (`array<float>`).
@@ -23,7 +24,12 @@ object Ann {
     (h.toDouble / Long.MaxValue.toDouble).toFloat
   }
 
-  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+  def cosine(a: Seq[Float], b: Seq[Float]): Double =
+    cosineArr(a.toArray, b.toArray)
+
+  /** Primitive-array cosine — the codegen expression entry point (no Seq
+    * boxing in the per-row path). */
+  def cosineArr(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -40,18 +46,21 @@ object Ann {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val q = queries.toDF("qid", "qvec")
-    val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) => cosine(a, b) }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     embeddings.join(broadcast(q))
-      .withColumn("sim", cosUdf(col("embedding"), col("qvec")))
+      .withColumn("sim", GeoExprs.cosineSim(col("embedding"), col("qvec")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("qid"), col("vec_id"), col("rnk"))
   }
 
   /** Random-hyperplane LSH signature (nBits planes → Long bucket). */
-  def lshSignature(vec: Seq[Float], nBits: Int, seed: Long): Long = {
+  def lshSignature(vec: Seq[Float], nBits: Int, seed: Long): Long =
+    lshSignatureArr(vec.toArray, nBits, seed)
+
+  /** Primitive-array variant — the codegen expression entry point. */
+  def lshSignatureArr(vec: Array[Float], nBits: Int, seed: Long): Long = {
     var sig = 0L
     var p = 0
     while (p < nBits) {
@@ -104,11 +113,10 @@ object Ann {
     val q = queries.flatMap { case (qid, v) =>
       nearestLists(v, nprobeEff).map(l => (qid, l, v))
     }.toDF("qid", "list", "qvec")
-    val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) => cosine(a, b) }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     indexed.join(broadcast(q), Seq("list"))
-      .withColumn("sim", cosUdf(col("embedding"), col("qvec")))
+      .withColumn("sim", GeoExprs.cosineSim(col("embedding"), col("qvec")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("qid"), col("vec_id"), col("rnk"))
@@ -122,10 +130,11 @@ object Ann {
               k: Int, nBits: Int = 6, nTables: Int = 8, seed: Long = 42L): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val sigUdf = udf { (v: Seq[Float], table: Int) => lshSignature(v, nBits, seed + table) }
     val tables = spark.range(nTables).select(col("id").cast("int").as("table"))
+    // codegen signature: raw float arrays, per-table seed as a column
     val emb = embeddings.crossJoin(tables)
-      .withColumn("bucket", sigUdf(col("embedding"), col("table")))
+      .withColumn("bucket", GeoExprs.lshSig(col("embedding"),
+        lit(seed) + col("table").cast("long"), nBits))
     // multiprobe: the query also probes all hamming-1 neighbor buckets
     val probeUdf = udf { (v: Seq[Float], table: Int) =>
       val b = lshSignature(v, nBits, seed + table)
@@ -133,7 +142,6 @@ object Ann {
     }
     val q = queries.toDF("qid", "qvec").crossJoin(tables)
       .withColumn("bucket", explode(probeUdf(col("qvec"), col("table"))))
-    val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) => cosine(a, b) }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     // dedup multi-table candidates on (qid, vec_id) IDS ONLY — never shuffle
@@ -144,7 +152,7 @@ object Ann {
     cand
       .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .join(qvecs, Seq("qid"))
-      .withColumn("sim", cosUdf(col("embedding"), col("qvec")))
+      .withColumn("sim", GeoExprs.cosineSim(col("embedding"), col("qvec")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("qid"), col("vec_id"), col("rnk"))
