@@ -165,9 +165,10 @@ object GeoEngine {
     * always-sweep kernels on dense tiles)? Lets the join planner drop
     * sub-plans that cannot produce rows and pick the in-tile sweep where the
     * O(k²) hash-path filter would melt. */
-  final case class SideMeta(hasWide: Boolean, hasNonRect: Boolean,
-                            hasNonBox: Boolean, hasRect: Boolean,
-                            hasBox: Boolean, maxHomeTileCnt: Long = 0L)
+  final case class SideMeta(hasWide: Boolean, hasNarrow: Boolean,
+                            hasNonRect: Boolean, hasNonBox: Boolean,
+                            hasRect: Boolean, hasBox: Boolean,
+                            maxHomeTileCnt: Long = 0L)
 
   /** Home fine tile of the MBR min corner (pure column tile math). */
   private def homeTileCol(grid: GridConfig): Column =
@@ -198,21 +199,24 @@ object GeoEngine {
     val box = col("gtype") === GeomType.BOX
     if (!withDensity) {
       def flag0(c: Column) = coalesce(max(when(c, 1).otherwise(0)), lit(0))
-      val row = df.agg(flag0(wide), flag0(nonRect), flag0(nonBox), flag0(rect),
-        flag0(box)).head()
+      val row = df.agg(flag0(wide), flag0(!wide), flag0(nonRect), flag0(nonBox),
+        flag0(rect), flag0(box)).head()
       SideMeta(row.getInt(0) == 1, row.getInt(1) == 1, row.getInt(2) == 1,
-        row.getInt(3) == 1, row.getInt(4) == 1, 0L)
+        row.getInt(3) == 1, row.getInt(4) == 1, row.getInt(5) == 1, 0L)
     } else {
       def flag(c: Column) = max(when(c, 1).otherwise(0))
       val grouped = df.groupBy(homeTileCol(grid).as("t")).agg(
-        count(lit(1)).as("c"), flag(wide).as("w"), flag(nonRect).as("nr"),
-        flag(nonBox).as("nb"), flag(rect).as("re"), flag(box).as("bx"))
+        count(lit(1)).as("c"), flag(wide).as("w"), flag(!wide).as("na"),
+        flag(nonRect).as("nr"), flag(nonBox).as("nb"), flag(rect).as("re"),
+        flag(box).as("bx"))
       val row = grouped.agg(
-        coalesce(max("w"), lit(0)), coalesce(max("nr"), lit(0)),
-        coalesce(max("nb"), lit(0)), coalesce(max("re"), lit(0)),
-        coalesce(max("bx"), lit(0)), coalesce(max("c"), lit(0L))).head()
+        coalesce(max("w"), lit(0)), coalesce(max("na"), lit(0)),
+        coalesce(max("nr"), lit(0)), coalesce(max("nb"), lit(0)),
+        coalesce(max("re"), lit(0)), coalesce(max("bx"), lit(0)),
+        coalesce(max("c"), lit(0L))).head()
       SideMeta(row.getInt(0) == 1, row.getInt(1) == 1, row.getInt(2) == 1,
-        row.getInt(3) == 1, row.getInt(4) == 1, row.getLong(5))
+        row.getInt(3) == 1, row.getInt(4) == 1, row.getInt(5) == 1,
+        row.getLong(6))
     }
   }
 
@@ -302,9 +306,10 @@ object GeoEngine {
    */
   private def mrCandidates(rIx: DataFrame, sIx: DataFrame, grid: GridConfig,
       broadcastS: Boolean, saltFactor: Int, maxFineCover: Int,
-      rHasWide: Boolean, sHasWide: Boolean,
+      rm: SideMeta, sm: SideMeta,
       payload: String => Seq[Column],
       sweepFine: Boolean = false): DataFrame = {
+    val rHasWide = rm.hasWide; val sHasWide = sm.hasWide
     val slim = !broadcastS
     val wide = fineCoverCnt(grid) > maxFineCover
 
@@ -352,7 +357,7 @@ object GeoEngine {
       rt.join(st, keys).where(mbrOverlap && dedup).drop("tile", "salt")
     }
 
-    val fineJoin =
+    def fineJoin =
       if (sweepFine && slim) {
         // dense-tile physical path: cogroup per tile + forward plane sweep
         val spark = rIx.sparkSession
@@ -371,18 +376,24 @@ object GeoEngine {
         side(rIx, "r", "rid", fine = true, -1),
         side(sIx, "s", "sid", fine = true, -1),
         grid.fineExtX, grid.fineExtY, grid.globalPpd)
+    // sub-joins whose participating level-class is provably empty on either
+    // side are dropped from the plan entirely (no scan, no exchange): an
+    // all-wide side never feeds the fine join; a no-wide side never feeds
+    // its coarse join
     val parts = Seq(
-      Some(fineJoin),
+      if (rm.hasNarrow && sm.hasNarrow) Some(fineJoin) else None,
       if (sHasWide) Some(subJoin(
         side(rIx, "r", "rid", fine = false, 0),
         side(sIx, "s", "sid", fine = false, 1),
         grid.coarseExtX, grid.coarseExtY, grid.coarsePpd)) else None,
-      if (rHasWide) Some(subJoin(
+      if (rHasWide && sm.hasNarrow) Some(subJoin(
         side(rIx, "r", "rid", fine = false, 1),
         side(sIx, "s", "sid", fine = false, -1),
         grid.coarseExtX, grid.coarseExtY, grid.coarsePpd)) else None
     ).flatten
-    parts.reduce(_ unionByName _)
+    // an empty (or degenerate) input leaves no sub-join — keep the fine join
+    // so the schema (and the empty result) still materialize
+    (if (parts.nonEmpty) parts else Seq(fineJoin)).reduce(_ unionByName _)
   }
 
   /**
@@ -398,7 +409,7 @@ object GeoEngine {
    */
   private def containmentCandidates(rIx: DataFrame, sIx: DataFrame,
       grid: GridConfig, broadcastS: Boolean, saltFactor: Int,
-      maxFineCover: Int, outerHasWide: Boolean,
+      maxFineCover: Int, outerHasWide: Boolean, outerHasNarrow: Boolean,
       payload: String => Seq[Column], innerIsR: Boolean): DataFrame = {
     val slim = !broadcastS
     val wide = fineCoverCnt(grid) > maxFineCover
@@ -445,14 +456,16 @@ object GeoEngine {
       bc(it, innerId == "sid").join(bc(ot, outerId == "sid"), keys)
         .where(innerInOuter).drop("tile", "salt")
     }
+    def fineSub = subJoin(
+      cells(inner, innerP, innerId, fine = true, home = true, 0),
+      cells(outer, outerP, outerId, fine = true, home = false, -1))
     val parts = Seq(
-      Some(subJoin(cells(inner, innerP, innerId, fine = true, home = true, 0),
-        cells(outer, outerP, outerId, fine = true, home = false, -1))),
+      if (outerHasNarrow) Some(fineSub) else None,
       if (outerHasWide) Some(subJoin(
         cells(inner, innerP, innerId, fine = false, home = true, 0),
         cells(outer, outerP, outerId, fine = false, home = false, 1))) else None
     ).flatten
-    parts.reduce(_ unionByName _)
+    (if (parts.nonEmpty) parts else Seq(fineSub)).reduce(_ unionByName _)
   }
 
   /**
@@ -598,10 +611,11 @@ object GeoEngine {
         containmentCandidates(rIx, sIx, grid, broadcastS, saltFactor,
           maxFineCover,
           outerHasWide = if (contRinS) sm.hasWide else rm.hasWide,
+          outerHasNarrow = if (contRinS) sm.hasNarrow else rm.hasNarrow,
           payload = if (slim) _ => Nil else payloadCols,
           innerIsR = contRinS)
       else mrCandidates(rIx, sIx, grid, broadcastS, saltFactor,
-        maxFineCover, rm.hasWide, sm.hasWide,
+        maxFineCover, rm, sm,
         if (slim) _ => Nil else payloadCols, sweepFine = sweepFine && slim)
 
     def refineExpr: Column =
@@ -759,7 +773,7 @@ object GeoEngine {
     val rIxDf = ix(rRaw, rAllPoints)
     val sIxDf = ix(sRaw, sAllPoints)
     val cands = mrCandidates(rIxDf, sIxDf, grid, broadcastS = false,
-      saltFactor, maxFineCover, rm.hasWide, sm.hasWide, _ => Nil)
+      saltFactor, maxFineCover, rm, sm, _ => Nil)
     // geometry attach: an all-point side's coords ARE its MBR corner, already
     // on the candidate row — no re-join
     def attachGeom(c: DataFrame, df: DataFrame, p: String, idName: String,

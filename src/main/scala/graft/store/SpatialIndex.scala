@@ -49,14 +49,14 @@ object SpatialIndex {
       .getOrElse(sys.error(s"index commit for $table did not become visible"))
   }
 
-  /** Latest committed index snapshot + its persisted dispatch metadata. */
+  /** Latest committed index snapshot + its persisted dispatch metadata.
+    * A snapshot whose side_meta lineage is missing or in a stale format is
+    * treated as absent (ensure() rebuilds + commits a fresh snapshot). */
   def load(spark: SparkSession, root: String, table: String): Option[Loaded] =
-    Snapshots.load(spark, root, table).map { df =>
-      val meta = Snapshots.latestManifest(root, table)
-        .flatMap(parseMeta)
-        .getOrElse(sys.error(s"index snapshot for $table has no side_meta lineage"))
-      Loaded(df, meta)
-    }
+    for {
+      df <- Snapshots.load(spark, root, table)
+      meta <- Snapshots.latestManifest(root, table).flatMap(parseMeta)
+    } yield Loaded(df, meta)
 
   /** Load the committed index if present, else build + commit it — the
     * resume semantics of Snapshots.runStage for index snapshots. */
@@ -67,15 +67,17 @@ object SpatialIndex {
       build(compute, grid, order, root, table, maxFineCover))
 
   private def metaStr(m: GeoEngine.SideMeta): String =
-    s"${m.hasWide},${m.hasNonRect},${m.hasNonBox},${m.hasRect},${m.hasBox}," +
-      s"${m.maxHomeTileCnt}"
+    s"${m.hasWide},${m.hasNarrow},${m.hasNonRect},${m.hasNonBox}," +
+      s"${m.hasRect},${m.hasBox},${m.maxHomeTileCnt}"
 
   private val MetaRe = """"side_meta": "([^"]*)"""".r
 
   private def parseMeta(manifestJson: String): Option[GeoEngine.SideMeta] =
-    MetaRe.findFirstMatchIn(manifestJson).map { mm =>
+    MetaRe.findFirstMatchIn(manifestJson).flatMap { mm =>
       val p = mm.group(1).split(',')
-      GeoEngine.SideMeta(p(0).toBoolean, p(1).toBoolean, p(2).toBoolean,
-        p(3).toBoolean, p(4).toBoolean, p(5).toLong)
+      if (p.length != 7) None // stale format → rebuild
+      else scala.util.Try(GeoEngine.SideMeta(p(0).toBoolean, p(1).toBoolean,
+        p(2).toBoolean, p(3).toBoolean, p(4).toBoolean, p(5).toBoolean,
+        p(6).toLong)).toOption
     }
 }
