@@ -290,6 +290,27 @@ case class CosineSim(a: Expression, b: Expression)
     copy(a = newLeft, b = newRight)
 }
 
+/** IVF cell assignment: nearest centroid by cosine (codegen). The centroid
+  * matrix rides as a plan reference object — no broadcast-closure UDF, no
+  * per-row Seq boxing over the full table. */
+case class IvfAssign(vec: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def child: Expression = vec
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ivf_assign"
+  override def nullSafeEval(v: Any): Any =
+    graft.ops.Ann.nearestCentroid(
+      v.asInstanceOf[ArrayData].toFloatArray(), centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCentroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.ops.Ann.nearestCentroid($v.toFloatArray(), $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): IvfAssign =
+    copy(vec = newChild)
+}
+
 /** Column-level wrappers. */
 object GeoExprs {
   private def e(c: Column): Expression = GraftColumnBridge.expression(c)
@@ -328,4 +349,7 @@ object GeoExprs {
 
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSim(e(a), e(b)))
+
+  def ivfAssign(vec: Column, centroids: Array[Array[Float]]): Column =
+    GraftColumnBridge.column(IvfAssign(e(vec), centroids))
 }

@@ -27,6 +27,21 @@ object Ann {
   def cosine(a: Seq[Float], b: Seq[Float]): Double =
     cosineArr(a.toArray, b.toArray)
 
+  /** Nearest-centroid cell (cosine argmax, earlier index wins ties) — the
+    * IVF assignment kernel, called from the codegen expression with the
+    * centroid matrix as a plan reference object. */
+  def nearestCentroid(v: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      val sim = cosineArr(v, cents(i))
+      if (sim > bestSim) { bestSim = sim; best = i }
+      i += 1
+    }
+    best
+  }
+
   /** Primitive-array cosine — the codegen expression entry point (no Seq
     * boxing in the per-row path). */
   def cosineArr(a: Array[Float], b: Array[Float]): Double = {
@@ -108,8 +123,12 @@ object Ann {
     def nearestLists(v: Seq[Float], n: Int): Seq[Int] =
       bcCents.value.map { case (i, c) => (i, cosine(v, c)) }
         .sortBy { case (i, sim) => (-sim, i) }.take(n).map(_._1).toSeq
-    val assignUdf = udf { (v: Seq[Float]) => nearestLists(v, 1).head }
-    val indexed = embeddings.withColumn("list", assignUdf(col("embedding")))
+    // full-table cell assignment as a codegen expression (centroid matrix
+    // rides as a plan reference object) — identical argmax/tie-break to
+    // nearestLists(v, 1)
+    val centMatrix = centroids.map(_._2.toArray)
+    val indexed = embeddings.withColumn("list",
+      GeoExprs.ivfAssign(col("embedding"), centMatrix))
     val q = queries.flatMap { case (qid, v) =>
       nearestLists(v, nprobeEff).map(l => (qid, l, v))
     }.toDF("qid", "list", "qvec")
