@@ -42,7 +42,12 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional filter for iterating on single queries:
+    //   SPARK_GRAFT_ONLY=q_a,q_b runMain graft.Bench
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces evaluation of EVERY output column — count() would
       // let Catalyst prune computed projections in map-only queries
