@@ -56,7 +56,26 @@ object April {
         }
         Approx(cellsToIntervals(hil), Array.empty)
 
-      case _ => // POLYGON / BOX
+      case GeomType.BOX =>
+        // closed form: a box's ALL cells are exactly its MBR's cell
+        // rectangle, its FULL cells exactly the strict interior of that
+        // rectangle (every interior cell center is inside the box) — emitted
+        // as Hilbert intervals DIRECTLY via quadtree range decomposition,
+        // O(output) instead of enumerating + sorting every covered cell.
+        // Bit-identical to the generic polygon path on the same ring
+        // (property-tested), just without touching 10⁶ cells for a wide box
+        // at order 16.
+        val m = g.mbr
+        val cx0 = cellX(m.xmin); val cx1 = cellX(m.xmax)
+        val cy0 = cellY(m.ymin); val cy1 = cellY(m.ymax)
+        val all = Hilbert.rectIntervals(n, cx0, cy0, cx1, cy1)
+        val full =
+          if (cx1 - cx0 >= 2 && cy1 - cy0 >= 2)
+            Hilbert.rectIntervals(n, cx0 + 1, cy0 + 1, cx1 - 1, cy1 - 1)
+          else Array.emptyLongArray
+        Approx(all, full)
+
+      case _ => // POLYGON
         // edge cells packed row-major (y*n + x), sorted+deduped: cells of one
         // row are contiguous, so interior-gap classification is a linear scan
         // (no per-object maps or boxed tuples — this runs per row at

@@ -74,6 +74,58 @@ class PropertySpec extends AnyFunSuite {
     assert(hits + negs > inconclusive, s"APRIL too weak: hits=$hits negs=$negs inc=$inconclusive")
   }
 
+  test("Hilbert rectIntervals ≡ enumerate-and-merge (exhaustive small, random large)") {
+    def enumerated(n: Long, x0: Long, y0: Long, x1: Long, y1: Long): List[Long] = {
+      val cells = for { y <- y0 to y1; x <- x0 to x1 } yield Hilbert.xy2d(n, x, y)
+      April.cellsToIntervals(cells).toList
+    }
+    // exhaustive: every rect of every grid up to 16×16
+    for (order <- 1 to 4; n = 1L << order;
+         x0 <- 0L until n; x1 <- x0 until n;
+         y0 <- 0L until n; y1 <- y0 until n) {
+      val got = Hilbert.rectIntervals(n, x0, y0, x1, y1).toList
+      assert(got == enumerated(n, x0, y0, x1, y1),
+        s"order=$order rect=($x0,$y0)-($x1,$y1)")
+    }
+    // random rects at orders 8 and 10
+    val rnd = new Random(7)
+    for (order <- Seq(8, 10); _ <- 1 to 60) {
+      val n = 1L << order
+      val x0 = rnd.nextInt(n.toInt).toLong; val y0 = rnd.nextInt(n.toInt).toLong
+      val x1 = math.min(n - 1, x0 + rnd.nextInt(40))
+      val y1 = math.min(n - 1, y0 + rnd.nextInt(40))
+      assert(Hilbert.rectIntervals(n, x0, y0, x1, y1).toList ==
+        enumerated(n, x0, y0, x1, y1), s"order=$order ($x0,$y0)-($x1,$y1)")
+    }
+    // degenerate: empty and single cell
+    assert(Hilbert.rectIntervals(16, 3, 3, 2, 3).isEmpty)
+    assert(Hilbert.rectIntervals(16, 5, 7, 5, 7).toList ==
+      List(Hilbert.xy2d(16, 5, 7), Hilbert.xy2d(16, 5, 7) + 1))
+  }
+
+  test("BOX closed-form rasterization ≡ generic polygon path on the same ring") {
+    val rnd = new Random(11)
+    val (xMin, yMin, xExt, yExt) = (-180.0, -90.0, 360.0, 180.0)
+    for (order <- Seq(6, 10, 16); _ <- 1 to 40) {
+      val cx = -170 + rnd.nextDouble() * 340
+      val cy = -80 + rnd.nextDouble() * 160
+      // keep the order-16 oracle side tractable (it enumerates every cell)
+      val cap = if (order >= 16) 0.2 else 8.0
+      val hw = rnd.nextDouble() * cap + 1e-4
+      val hh = rnd.nextDouble() * cap * 0.75 + 1e-4
+      val ring = Array(cx - hw, cy - hh, cx + hw, cy - hh, cx + hw, cy + hh,
+        cx - hw, cy + hh, cx - hw, cy - hh)
+      val asBox = April.rasterize(Geom(GeomType.BOX, ring),
+        xMin, yMin, xExt, yExt, order)
+      val asPoly = April.rasterize(Geom(GeomType.POLYGON, ring),
+        xMin, yMin, xExt, yExt, order)
+      assert(asBox.all.toList == asPoly.all.toList,
+        s"ALL differs order=$order box=($cx,$cy,$hw,$hh)")
+      assert(asBox.full.toList == asPoly.full.toList,
+        s"FULL differs order=$order box=($cx,$cy,$hw,$hh)")
+    }
+  }
+
   test("Hilbert xy2d/d2xy bijection at order 16 (sampled)") {
     val n = 1L << 16
     val rnd = new Random(3)
