@@ -884,14 +884,19 @@ object GeoEngine {
     s.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thresholdBytes)
 
   /** spatialJoin with the broadcast/shuffle decision taken from size
-    * estimates instead of a caller flag. */
+    * estimates instead of a caller flag. APRIL joins never broadcast: in
+    * broadcast mode the payload (coords + interval arrays) rides through
+    * the tile explode, multiplying broadcast bytes per covered tile —
+    * measured slower than the slim exchange + re-join-by-id even for a
+    * 20k-row S at sf0.1; AQE still converts the small id-keyed re-joins. */
   def spatialJoinAuto(r: Dataset[GeoRow], s: Dataset[GeoRow], pred: Int,
                       grid: GridConfig, useApril: Boolean = false,
                       saltFactor: Int = 1,
                       aprilOrder: Int = AprilOrder,
                       maxFineCover: Int = 16): DataFrame =
     spatialJoin(r, s, pred, grid, useApril,
-      broadcastS = chooseBroadcast(s), saltFactor, aprilOrder, maxFineCover)
+      broadcastS = !useApril && chooseBroadcast(s), saltFactor, aprilOrder,
+      maxFineCover)
 
   // ---------------------------------------------------------- range queries
 
