@@ -913,18 +913,22 @@ object GeoEngine {
   def rangeBatch(data: Dataset[GeoRow], queries: Seq[(Long, Geom)],
                  grid: GridConfig, useApril: Boolean = false,
                  aprilOrder: Int = AprilOrder,
-                 maxFineCover: Int = 16): DataFrame = {
+                 maxFineCover: Int = 16,
+                 dataMeta: Option[SideMeta] = None): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
     val dIx =
       if (!useApril) data.toDF()
       else if (data.toDF().columns.contains("april_all")) data.toDF()
       else aprilIndex(data.toDF(), grid, aprilOrder)
-    // Multi-resolution window covers (the data-side rule applied to the
-    // query side): a window whose fine cover exceeds maxFineCover cells is
-    // broadcast by its COARSE cells instead — a continent-sized window ships
-    // O(coarse cells) rows, not up to globalPpd² fine tiles built on the
-    // driver. Narrow windows keep the fine equi-join (tight pruning).
+    // Multi-resolution covers on BOTH sides: a window (or data object)
+    // whose fine cover exceeds maxFineCover cells joins at the COARSE grid
+    // instead — a continent-sized window ships O(coarse cells) broadcast
+    // rows (not up to globalPpd² driver-built fine tiles), and a wide data
+    // polygon ships O(coarse cells) shuffle copies. Level pairing mirrors
+    // mrCandidates: (narrow, narrow) joins fine; any pair with a wide
+    // member joins coarse — three disjoint sub-joins, each deduped by the
+    // reference point at its own granularity.
     def qRowsFor(sel: Seq[(Long, Geom)], fine: Boolean) = sel.flatMap {
       case (qid, g) =>
         val m = g.mbr
@@ -958,20 +962,34 @@ object GeoEngine {
     val mbrOverlap =
       col("xmax") >= col("qxmin") && col("xmin") <= col("qxmax") &&
       col("ymax") >= col("qymin") && col("ymin") <= col("qymax")
-    // one sub-join per window granularity: data explodes at the matching
+    val dm = dataMeta.getOrElse(sideStats(dIx, grid, maxFineCover,
+      withDensity = false))
+    val wide = fineCoverCnt(grid) > maxFineCover
+    // one sub-join per level pairing: data explodes at the sub-join's
     // level, the reference-point dedup runs at that level
-    def subJoin(qdf: DataFrame, extX: Double, extY: Double, ppd: Int): DataFrame = {
-      val dt = explodeCover(dIx, extX, extY, grid.xMin, grid.yMin, ppd)
+    def subJoin(dSel: Int /* -1 narrow, 1 wide, 0 all */, qdf: DataFrame,
+                fine: Boolean): DataFrame = {
+      val (extX, extY, ppd) =
+        if (fine) (grid.fineExtX, grid.fineExtY, grid.globalPpd)
+        else (grid.coarseExtX, grid.coarseExtY, grid.coarsePpd)
+      val filtered = dSel match {
+        case -1 => dIx.where(!wide)
+        case 1  => dIx.where(wide)
+        case _  => dIx
+      }
+      val dt = explodeCover(filtered, extX, extY, grid.xMin, grid.yMin, ppd)
       val refI = clampIdx(greatest(col("xmin"), col("qxmin")), extX, grid.xMin, ppd)
       val refJ = clampIdx(greatest(col("ymin"), col("qymin")), extY, grid.yMin, ppd)
       val dedup = (refI + refJ * lit(ppd.toLong)) === col("tile")
       dt.join(broadcast(qdf), Seq("tile")).where(mbrOverlap && dedup)
     }
     val parts = Seq(
-      if (narrowQ.nonEmpty) Some(subJoin(qRowsFor(narrowQ, fine = true),
-        grid.fineExtX, grid.fineExtY, grid.globalPpd)) else None,
-      if (wideQ.nonEmpty) Some(subJoin(qRowsFor(wideQ, fine = false),
-        grid.coarseExtX, grid.coarseExtY, grid.coarsePpd)) else None
+      if (dm.hasNarrow && narrowQ.nonEmpty)
+        Some(subJoin(-1, qRowsFor(narrowQ, fine = true), fine = true)) else None,
+      if (dm.hasWide && queries.nonEmpty)
+        Some(subJoin(1, qRowsFor(queries, fine = false), fine = false)) else None,
+      if (dm.hasNarrow && wideQ.nonEmpty)
+        Some(subJoin(-1, qRowsFor(wideQ, fine = false), fine = false)) else None
     ).flatten
     if (parts.isEmpty) return spark.emptyDataFrame
       .select(lit(0L).as("qid"), lit(0L).as("id")).limit(0)

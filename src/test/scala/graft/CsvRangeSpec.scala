@@ -72,11 +72,21 @@ class CsvRangeSpec extends AnyFunSuite {
   test("rangeBatch wide windows take the coarse cover (bounded query table)") {
     import spark.implicits._
     val grid = graft.web.Pages.WorldGrid
+    // mixed data: points + WIDE boxes (cover >> maxFineCover) — the data
+    // side must exchange its wide members at the coarse grid too
     val pts = (0 until 4000).map { i =>
       val x = (i * 7 % 2880) / 8.0 - 180.0
       val y = (i * 11 % 1360) / 8.0 - 85.0
       GeoRow(i.toLong, GeomType.POINT, Array(x, y), x, y, x, y)
-    }.toDS()
+    }.toDS().union((0 until 50).map { i =>
+      val cx = (i * 53 % 2400) / 8.0 - 150.0
+      val cy = (i * 37 % 1000) / 8.0 - 62.0
+      val hw = 5.0 + (i % 3); val hh = 4.0 + (i % 2)
+      GeoRow(100000L + i, GeomType.BOX,
+        Array(cx - hw, cy - hh, cx + hw, cy - hh, cx + hw, cy + hh,
+          cx - hw, cy + hh, cx - hw, cy - hh),
+        cx - hw, cy - hh, cx + hw, cy + hh)
+    }.toDS())
     // a continent-sized window (half the world), a hemisphere-tall strip,
     // and a handful of narrow windows — mixed levels in one batch
     val wide = Seq(
@@ -89,12 +99,13 @@ class CsvRangeSpec extends AnyFunSuite {
     }
     val got = GeoEngine.rangeBatch(pts, wide ++ narrow, grid)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // brute-force oracle: closed-MBR containment
+    // brute-force oracle: closed-MBR intersection (exact for box windows
+    // over points and boxes)
     val raw = pts.collect()
     val want = (wide ++ narrow).flatMap { case (qid, g) =>
       val m = g.mbr
-      raw.filter(p => p.xmin >= m.xmin && p.xmin <= m.xmax &&
-        p.ymin >= m.ymin && p.ymin <= m.ymax).map(p => (qid, p.id))
+      raw.filter(p => p.xmax >= m.xmin && p.xmin <= m.xmax &&
+        p.ymax >= m.ymin && p.ymin <= m.ymax).map(p => (qid, p.id))
     }.toSet
     assert(got == want, s"got ${got.size} want ${want.size}")
     // the half-world window's fine cover is ~436*872 ≈ 380k tiles; its
