@@ -506,6 +506,68 @@ object GeoEngine {
     ).as[TileAssignment]
   }
 
+  /** Column bundle for one side's gtype + MBR — shared between spatialJoin
+    * and the SQL spatial-join rewrite (plans.SpatialJoinRewrite). */
+  private[graft] final case class RectCols(g: Column, xmin: Column,
+      ymin: Column, xmax: Column, ymax: Column)
+
+  /** Both sides rectangular (POINT/BOX)? */
+  private[graft] def rectangularCond(r: RectCols, s: RectCols): Column =
+    (r.g === GeomType.POINT || r.g === GeomType.BOX) &&
+    (s.g === GeomType.POINT || s.g === GeomType.BOX)
+
+  /** Exact predicate over rectangular pairs that ALREADY passed the closed
+    * MBR-overlap test — pure coordinate comparisons, stays in codegen. */
+  private[graft] def rectExactExpr(pred: Int, r: RectCols, s: RectCols): Column = {
+    val rPoint = r.g === GeomType.POINT
+    val sPoint = s.g === GeomType.POINT
+    val coordsEqual =
+      r.xmin === s.xmin && r.ymin === s.ymin &&
+      r.xmax === s.xmax && r.ymax === s.ymax
+    val rInSClosed =
+      r.xmin >= s.xmin && r.xmax <= s.xmax &&
+      r.ymin >= s.ymin && r.ymax <= s.ymax
+    val sInRClosed =
+      s.xmin >= r.xmin && s.xmax <= r.xmax &&
+      s.ymin >= r.ymin && s.ymax <= r.ymax
+    val rPtStrictInS =
+      r.xmin > s.xmin && r.xmin < s.xmax && r.ymin > s.ymin && r.ymin < s.ymax
+    val sPtStrictInR =
+      s.xmin > r.xmin && s.xmin < r.xmax && s.ymin > r.ymin && s.ymin < r.ymax
+    val facingEdge =
+      r.xmin === s.xmax || r.xmax === s.xmin ||
+      r.ymin === s.ymax || r.ymax === s.ymin
+    pred match {
+      case Predicates.INTERSECTS => lit(true)
+      case Predicates.DISJOINT => lit(false) // tile-local candidates overlap
+      case Predicates.EQUAL => coordsEqual
+      case Predicates.INSIDE =>
+        when(rPoint && sPoint, coordsEqual)
+          .when(rPoint, rPtStrictInS)
+          .when(sPoint, lit(false))
+          .otherwise(rInSClosed)
+      case Predicates.COVERED_BY =>
+        when(rPoint && sPoint, coordsEqual)
+          .when(rPoint, rInSClosed)
+          .when(sPoint, lit(false))
+          .otherwise(rInSClosed)
+      case Predicates.CONTAINS =>
+        when(rPoint && sPoint, coordsEqual)
+          .when(sPoint, sPtStrictInR)
+          .when(rPoint, lit(false))
+          .otherwise(sInRClosed)
+      case Predicates.COVERS =>
+        when(rPoint && sPoint, coordsEqual)
+          .when(sPoint, sInRClosed)
+          .when(rPoint, lit(false))
+          .otherwise(sInRClosed)
+      case Predicates.MEET =>
+        when(rPoint && sPoint, lit(false)) // points have no boundary
+          .otherwise(facingEdge) // boundary-only contact given closed overlap
+      case _ => lit(false)
+    }
+  }
+
   // ------------------------------------------------------------------ joins
 
   /**
@@ -624,59 +686,12 @@ object GeoEngine {
     // coordinate comparison (DE-9IM on axis-aligned closed rectangles) — no
     // UDF, stays in whole-stage codegen. Exact arithmetic (no tolerance);
     // non-degenerate boxes assumed (zero-area rings are rejected at parse).
-    val rectangular =
-      (col("rg") === GeomType.POINT || col("rg") === GeomType.BOX) &&
-      (col("sg") === GeomType.POINT || col("sg") === GeomType.BOX)
-    val rPoint = col("rg") === GeomType.POINT
-    val sPoint = col("sg") === GeomType.POINT
-    val coordsEqual =
-      col("rxmin") === col("sxmin") && col("rymin") === col("symin") &&
-      col("rxmax") === col("sxmax") && col("rymax") === col("symax")
-    val rInSClosed =
-      col("rxmin") >= col("sxmin") && col("rxmax") <= col("sxmax") &&
-      col("rymin") >= col("symin") && col("rymax") <= col("symax")
-    val sInRClosed =
-      col("sxmin") >= col("rxmin") && col("sxmax") <= col("rxmax") &&
-      col("symin") >= col("rymin") && col("symax") <= col("rymax")
-    val rPtStrictInS =
-      col("rxmin") > col("sxmin") && col("rxmin") < col("sxmax") &&
-      col("rymin") > col("symin") && col("rymin") < col("symax")
-    val sPtStrictInR =
-      col("sxmin") > col("rxmin") && col("sxmin") < col("rxmax") &&
-      col("symin") > col("rymin") && col("symin") < col("rymax")
-    // candidates already passed the closed MBR-overlap test
-    val facingEdge =
-      col("rxmin") === col("sxmax") || col("rxmax") === col("sxmin") ||
-      col("rymin") === col("symax") || col("rymax") === col("symin")
-    val rectExact: Column = pred match {
-      case Predicates.INTERSECTS => lit(true)
-      case Predicates.DISJOINT => lit(false) // tile-local candidates overlap
-      case Predicates.EQUAL => coordsEqual
-      case Predicates.INSIDE =>
-        when(rPoint && sPoint, coordsEqual)
-          .when(rPoint, rPtStrictInS)
-          .when(sPoint, lit(false))
-          .otherwise(rInSClosed)
-      case Predicates.COVERED_BY =>
-        when(rPoint && sPoint, coordsEqual)
-          .when(rPoint, rInSClosed)
-          .when(sPoint, lit(false))
-          .otherwise(rInSClosed)
-      case Predicates.CONTAINS =>
-        when(rPoint && sPoint, coordsEqual)
-          .when(sPoint, sPtStrictInR)
-          .when(rPoint, lit(false))
-          .otherwise(sInRClosed)
-      case Predicates.COVERS =>
-        when(rPoint && sPoint, coordsEqual)
-          .when(sPoint, sInRClosed)
-          .when(rPoint, lit(false))
-          .otherwise(sInRClosed)
-      case Predicates.MEET =>
-        when(rPoint && sPoint, lit(false)) // points have no boundary
-          .otherwise(facingEdge) // boundary-only contact given closed overlap
-      case _ => lit(false)
-    }
+    val rRC = RectCols(col("rg"), col("rxmin"), col("rymin"),
+      col("rxmax"), col("rymax"))
+    val sRC = RectCols(col("sg"), col("sxmin"), col("symin"),
+      col("sxmax"), col("symax"))
+    val rectangular = rectangularCond(rRC, sRC)
+    val rectExact = rectExactExpr(pred, rRC, sRC)
     // Plan by type presence (never execute the candidate join twice):
     //   - all-rectangular workload (POINT/BOX only, the dispatch prepass
     //     proves it): pure column plan — no geometry payload touched at all;

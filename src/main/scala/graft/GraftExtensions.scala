@@ -56,6 +56,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         AprilVerdict(pred, args(1), args(2), args(3), args(4))
       })
+
+    // a bare `JOIN ... ON st_<pred>(...)` would execute as a cartesian
+    // product; this rule rewrites it into the multi-resolution tile-exchange
+    // plan (see graft.plans.SpatialJoinRewrite; kill switch
+    // spark.graft.join.rewrite=false)
+    ext.injectOptimizerRule(session => graft.plans.SpatialJoinRewrite(session))
   }
 
   private def register(ext: SparkSessionExtensions, name: String, usage: String,

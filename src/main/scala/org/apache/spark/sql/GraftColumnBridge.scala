@@ -1,10 +1,17 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Bridge to the sql-private Column⇄Expression converters so graft's native
-  * Catalyst expressions can be used through the public Column API. */
+  * Catalyst expressions can be used through the public Column API, and to
+  * Dataset.ofRows so optimizer rules can rebuild plans with the DataFrame
+  * API (the spatial-join rewrite). */
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+  def logicalPlan(df: Dataset[_]): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].logicalPlan
 }

@@ -94,6 +94,68 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL spatial join rewrites the cartesian into the tile-exchange plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 600×600 mixed points/boxes/diamonds — big enough that a cartesian
+    // would be noticeable, small enough to brute-force the oracle
+    def table(seed: Int, n: Int): org.apache.spark.sql.DataFrame =
+      (0 until n).map { i =>
+        val k = i * 31 + seed
+        val cx = (k * 13 % 2800) / 8.0 - 175.0
+        val cy = (k * 17 % 1280) / 8.0 - 80.0
+        k % 3 match {
+          case 0 => (i.toLong, GeomType.POINT, Array(cx, cy))
+          case 1 =>
+            val hw = (k % 40 + 2) / 8.0; val hh = (k % 30 + 2) / 8.0
+            (i.toLong, GeomType.BOX, Array(cx - hw, cy - hh, cx + hw, cy - hh,
+              cx + hw, cy + hh, cx - hw, cy + hh, cx - hw, cy - hh))
+          case _ =>
+            val hw = (k % 40 + 2) / 8.0; val hh = (k % 30 + 2) / 8.0
+            (i.toLong, GeomType.POLYGON, Array(cx - hw, cy, cx, cy - hh,
+              cx + hw, cy, cx, cy + hh, cx - hw, cy))
+        }
+      }.toDF("id", "gtype", "coords")
+    table(1, 600).createOrReplaceTempView("ta")
+    table(7, 600).createOrReplaceTempView("tb")
+    val df = spark.sql(
+      """SELECT a.id AS rid, b.id AS sid FROM ta a JOIN tb b
+        |ON st_intersects(a.gtype, a.coords, b.gtype, b.coords)""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"spatial join still a product:\n${plan.take(800)}")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // oracle: the exact kernel over all pairs
+    val as = table(1, 600).collect().map(r =>
+      (r.getLong(0), Geom(r.getInt(1), r.getSeq[Double](2).toArray)))
+    val bs = table(7, 600).collect().map(r =>
+      (r.getLong(0), Geom(r.getInt(1), r.getSeq[Double](2).toArray)))
+    val want = (for {
+      (ai, ag) <- as; (bi, bg) <- bs
+      if Topology.evalPredicate(Predicates.INTERSECTS, ag, bg)
+    } yield (ai, bi)).toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    // asymmetric predicate with arguments drawn from the RIGHT side first
+    val ins = spark.sql(
+      """SELECT a.id AS rid, b.id AS sid FROM ta a JOIN tb b
+        |ON st_inside(b.gtype, b.coords, a.gtype, a.coords)""".stripMargin)
+    assert(!ins.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val gotIns = ins.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantIns = (for {
+      (ai, ag) <- as; (bi, bg) <- bs
+      if Topology.evalPredicate(Predicates.INSIDE, bg, ag)
+    } yield (ai, bi)).toSet
+    assert(gotIns == wantIns, s"inside: got ${gotIns.size} want ${wantIns.size}")
+    // st_disjoint keeps SQL semantics — NOT rewritten (stays a product)
+    val dis = spark.sql(
+      """SELECT a.id FROM ta a JOIN tb b
+        |ON st_disjoint(a.gtype, a.coords, b.gtype, b.coords)""".stripMargin)
+    val disPlan = dis.queryExecution.executedPlan.toString
+    assert(disPlan.contains("CartesianProduct") ||
+      disPlan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("st_* predicates in a SQL join filter use codegen (no ScalaUDF in plan)") {
     mkView()
     val df = spark.sql(
