@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -41,17 +41,33 @@ import graft.functions.STRefine
  * statistics are unknown, so all three level-pair sub-joins stay in the
  * plan and wideness is a per-row column.
  */
-case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   private val P = "__graft_"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString("spark.graft.join.rewrite", "true") != "true") return plan
     plan.transformUp {
-      case j @ Join(left, right, Inner, Some(st: STRefine), _)
-          if st.predId != Predicates.DISJOINT &&
-            sideOf(st, left, right).isDefined =>
-        rewrite(j, left, right, st, sideOf(st, left, right).get)
+      // exactly one st_* conjunct drives the candidate structure; remaining
+      // deterministic conjuncts (cross-side residuals — single-side ones
+      // were already pushed below the join) apply as a post-filter
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if extract(cond, left, right).isDefined =>
+        val (st, rest, aOnLeft) = extract(cond, left, right).get
+        rewrite(j, left, right, st, aOnLeft, rest)
+    }
+  }
+
+  private def extract(cond: Expression, left: LogicalPlan, right: LogicalPlan)
+      : Option[(STRefine, Seq[Expression], Boolean)] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    conjuncts.collect { case st: STRefine => st } match {
+      case Seq(st) if st.predId != Predicates.DISJOINT &&
+          conjuncts.forall(_.deterministic) =>
+        sideOf(st, left, right).map(aOnLeft =>
+          (st, conjuncts.filterNot(_ eq st), aOnLeft))
+      case _ => None
     }
   }
 
@@ -80,7 +96,8 @@ case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
-                      st: STRefine, aOnLeft: Boolean): LogicalPlan = {
+                      st: STRefine, aOnLeft: Boolean,
+                      rest: Seq[Expression]): LogicalPlan = {
     val grid = gridFromConf
     val maxFineCover = 16
     def C(e: Expression): Column = GraftColumnBridge.column(e)
@@ -169,7 +186,9 @@ case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       col(p + "xmin"), col(p + "ymin"), col(p + "xmax"), col(p + "ymax"))
     val rect = GeoEngine.rectangularCond(rcOf(ap), rcOf(bp))
     val rectEx = GeoEngine.rectExactExpr(st.predId, rcOf(ap), rcOf(bp))
-    val filtered = cands.where(when(rect, rectEx).otherwise(C(st)))
+    val spatial = when(rect, rectEx).otherwise(C(st))
+    val fullCond = rest.map(C).foldLeft(spatial)(_ && _)
+    val filtered = cands.where(fullCond)
 
     // project back to exactly the join's output (same attributes, same order)
     GraftColumnBridge.logicalPlan(filtered.select(j.output.map(C): _*))

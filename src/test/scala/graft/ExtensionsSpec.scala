@@ -147,6 +147,17 @@ class ExtensionsSpec extends AnyFunSuite {
       if Topology.evalPredicate(Predicates.INSIDE, bg, ag)
     } yield (ai, bi)).toSet
     assert(gotIns == wantIns, s"inside: got ${gotIns.size} want ${wantIns.size}")
+    // WHERE-form with an extra cross-side conjunct: the pushed-down filter
+    // becomes the join condition; the st_* conjunct drives the rewrite and
+    // the residual applies on top
+    val mixed = spark.sql(
+      """SELECT a.id AS rid, b.id AS sid FROM ta a, tb b
+        |WHERE st_intersects(a.gtype, a.coords, b.gtype, b.coords)
+        |  AND a.id % 2 = b.id % 3""".stripMargin)
+    assert(!mixed.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val gotMixed = mixed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotMixed == want.filter { case (ai, bi) => ai % 2 == bi % 3 },
+      s"mixed conjunct: got ${gotMixed.size}")
     // st_disjoint keeps SQL semantics — NOT rewritten (stays a product)
     val dis = spark.sql(
       """SELECT a.id FROM ta a JOIN tb b
