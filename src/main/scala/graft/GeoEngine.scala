@@ -128,7 +128,7 @@ object GeoEngine {
     explodeCover(df, grid.fineExtX, grid.fineExtY, grid.xMin, grid.yMin,
       grid.globalPpd)
 
-  private def clampIdx(c: Column, ext: Double, lo: Double, ppd: Int): Column =
+  private[graft] def clampIdx(c: Column, ext: Double, lo: Double, ppd: Int): Column =
     least(greatest(floor((c - lit(lo)) / lit(ext)).cast("long"), lit(0L)),
       lit(ppd - 1L))
 
@@ -647,9 +647,13 @@ object GeoEngine {
       df.select((col("id").as(idName) +: payloadCols(p)): _*)
 
     // the density histogram only matters when the sweep decision is open
-    // AND the join shuffles — broadcast joins and explicit sweep flags get
-    // the cheap flat prepass
-    val needDensity = slim && sweep.isEmpty
+    // AND the join shuffles AND the predicate takes the tile-exchange plan —
+    // broadcast joins, explicit sweep flags, and containment predicates
+    // (home-cell candidates, no sweep path) get the cheap flat prepass
+    val containmentPred = pred == Predicates.INSIDE ||
+      pred == Predicates.COVERED_BY || pred == Predicates.CONTAINS ||
+      pred == Predicates.COVERS
+    val needDensity = slim && sweep.isEmpty && !containmentPred
     val rm = rMeta.getOrElse(sideStats(rIx, grid, maxFineCover, needDensity))
     val sm = sMeta.getOrElse(sideStats(sIx, grid, maxFineCover, needDensity))
     val anyNonRect = rm.hasNonRect || sm.hasNonRect
@@ -944,15 +948,20 @@ object GeoEngine {
     // mrCandidates: (narrow, narrow) joins fine; any pair with a wide
     // member joins coarse — three disjoint sub-joins, each deduped by the
     // reference point at its own granularity.
+    // each window rasterizes ONCE even when it feeds two sub-joins (a wide
+    // data side re-broadcasts ALL windows at the coarse level)
+    val qApprox: Map[Long, (Array[Long], Array[Long])] =
+      if (!useApril) Map.empty
+      else queries.map { case (qid, g) =>
+        val a = April.rasterize(g, grid.xMin, grid.yMin,
+          grid.xExtent, grid.yExtent, aprilOrder)
+        qid -> (a.all, a.full)
+      }.toMap
     def qRowsFor(sel: Seq[(Long, Geom)], fine: Boolean) = sel.flatMap {
       case (qid, g) =>
         val m = g.mbr
-        val (qall, qfull) =
-          if (useApril) {
-            val a = April.rasterize(g, grid.xMin, grid.yMin,
-              grid.xExtent, grid.yExtent, aprilOrder)
-            (a.all, a.full)
-          } else (Array.emptyLongArray, Array.emptyLongArray)
+        val (qall, qfull) = qApprox.getOrElse(qid,
+          (Array.emptyLongArray, Array.emptyLongArray))
         val cells: Seq[Long] =
           if (fine) grid.fineTiles(m).toSeq
           else {

@@ -840,6 +840,14 @@ object SparkEntry {
    * CORRECTNESS failure instead of an unchecked `no_oracle` row.
    * (The ANN top-k queries stay fixture-free on purpose: their contract is
    * recall, gated by planted-neighbor tests, not bit-stable row sets.)
+   *
+   * CONSTRAINTS (deliberate, driver-contract-shaped): these oracles are only
+   * valid for the driver's correctness run — sf0.01 inputs, repo checked out
+   * at /root/repo (oracleSql is a static map, so it cannot see sfDir or the
+   * checkout path). Running the oracle compare at another SF or path fails
+   * loudly (row-count/file-not-found), never silently. Regenerate with:
+   * Verify at sf0.01 → copy each part file to
+   * src/test/resources/expected_sf0.01/<q>.parquet.
    */
   private def pinnedOracles: Map[String, String] = {
     val root = "/root/repo/src/test/resources/expected_sf0.01"

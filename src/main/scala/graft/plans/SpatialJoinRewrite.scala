@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -52,19 +52,33 @@ case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       // exactly one st_* conjunct drives the candidate structure; remaining
       // deterministic conjuncts (cross-side residuals — single-side ones
       // were already pushed below the join) apply as a post-filter
-      case j @ Join(left, right, Inner, Some(cond), _)
-          if extract(cond, left, right).isDefined =>
-        val (st, rest, aOnLeft) = extract(cond, left, right).get
-        rewrite(j, left, right, st, aOnLeft, rest)
+      case j @ Join(left, right, Inner, Some(cond), _) =>
+        extract(cond, left, right) match {
+          case Some((st, rest, aOnLeft)) =>
+            rewrite(j, left, right, st, aOnLeft, rest)
+          case None => j
+        }
     }
   }
 
   private def extract(cond: Expression, left: LogicalPlan, right: LogicalPlan)
       : Option[(STRefine, Seq[Expression], Boolean)] = {
     val conjuncts = splitConjunctivePredicates(cond)
+    // a cross-side EQUALITY conjunct means Spark already has a real
+    // equi-join key — planning a hash/sort-merge join on it and evaluating
+    // st_* as a post-filter beats the tile explode; don't rewrite
+    def crossEqui(e: Expression): Boolean = e match {
+      case EqualTo(a, b) =>
+        (a.references.nonEmpty && b.references.nonEmpty) &&
+          ((a.references.subsetOf(left.outputSet) &&
+            b.references.subsetOf(right.outputSet)) ||
+           (a.references.subsetOf(right.outputSet) &&
+            b.references.subsetOf(left.outputSet)))
+      case _ => false
+    }
     conjuncts.collect { case st: STRefine => st } match {
       case Seq(st) if st.predId != Predicates.DISJOINT &&
-          conjuncts.forall(_.deterministic) =>
+          conjuncts.forall(_.deterministic) && !conjuncts.exists(crossEqui) =>
         sideOf(st, left, right).map(aOnLeft =>
           (st, conjuncts.filterNot(_ eq st), aOnLeft))
       case _ => None
@@ -102,14 +116,17 @@ case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     val maxFineCover = 16
     def C(e: Expression): Column = GraftColumnBridge.column(e)
 
+    // shared tile math with the engine (GeoEngine.clampIdx is the single
+    // source of the floor-clamp cell formula)
     def clampIdxL(c: Column, ext: Double, lo: Double, ppd: Int): Column =
-      least(greatest(floor((c - lit(lo)) / lit(ext)).cast("long"), lit(0L)),
-        lit(ppd - 1L))
+      GeoEngine.clampIdx(c, ext, lo, ppd)
 
     // derive gtype + MBR + wideness from the predicate's own argument
-    // expressions (coords packed [x0,y0,x1,y1,...])
+    // expressions (coords packed [x0,y0,x1,y1,...]); rows with degenerate
+    // coords (< 1 vertex) are dropped — sequence(1, 0) would count DOWN in
+    // Spark and element_at would fail under ANSI on the empty array
     def prep(child: LogicalPlan, p: String, g: Expression, c: Expression): DataFrame = {
-      val df = GraftColumnBridge.ofRows(spark, child)
+      val df = GraftColumnBridge.ofRows(spark, child).where(size(C(c)) >= 2)
       val cc = C(c)
       val idx = sequence(lit(1), (size(cc) / 2).cast("int"))
       val xs = transform(idx, i => element_at(cc, i * 2 - 1))

@@ -41,8 +41,7 @@ object SpatialIndex {
     Snapshots.commit(indexed, root, table, lineage = Map(
       "stage" -> "build_index",
       "april_order" -> order.toString,
-      "grid" -> (s"${grid.xMin},${grid.yMin},${grid.xMax},${grid.yMax}," +
-        s"${grid.coarsePpd},${grid.globalPpd}"),
+      "grid" -> gridStr(grid),
       "max_fine_cover" -> maxFineCover.toString,
       "side_meta" -> metaStr(meta)))
     load(df.sparkSession, root, table)
@@ -58,13 +57,34 @@ object SpatialIndex {
       meta <- Snapshots.latestManifest(root, table).flatMap(parseMeta)
     } yield Loaded(df, meta)
 
-  /** Load the committed index if present, else build + commit it — the
-    * resume semantics of Snapshots.runStage for index snapshots. */
+  /** Load the committed index if present AND built with the SAME grid /
+    * APRIL order / maxFineCover, else build + commit a fresh snapshot — the
+    * resume semantics of Snapshots.runStage for index snapshots. Serving a
+    * snapshot rasterized at a different order (or over a different grid)
+    * would compare interval lists across incomparable cell spaces and
+    * silently drop true hits, so a parameter mismatch means REBUILD. */
   def ensure(spark: SparkSession, root: String, table: String,
              grid: GridConfig, order: Int, maxFineCover: Int = 16)
             (compute: => DataFrame): Loaded =
-    load(spark, root, table).getOrElse(
-      build(compute, grid, order, root, table, maxFineCover))
+    load(spark, root, table)
+      .filter(_ => paramsMatch(root, table, grid, order, maxFineCover))
+      .getOrElse(build(compute, grid, order, root, table, maxFineCover))
+
+  private def gridStr(grid: GridConfig): String =
+    s"${grid.xMin},${grid.yMin},${grid.xMax},${grid.yMax}," +
+      s"${grid.coarsePpd},${grid.globalPpd}"
+
+  private def lineageVal(manifestJson: String, key: String): Option[String] =
+    ("\"" + key + "\": \"([^\"]*)\"").r
+      .findFirstMatchIn(manifestJson).map(_.group(1))
+
+  private def paramsMatch(root: String, table: String, grid: GridConfig,
+                          order: Int, maxFineCover: Int): Boolean =
+    Snapshots.latestManifest(root, table).exists { m =>
+      lineageVal(m, "april_order").contains(order.toString) &&
+      lineageVal(m, "grid").contains(gridStr(grid)) &&
+      lineageVal(m, "max_fine_cover").contains(maxFineCover.toString)
+    }
 
   private def metaStr(m: GeoEngine.SideMeta): String =
     s"${m.hasWide},${m.hasNarrow},${m.hasNonRect},${m.hasNonBox}," +
