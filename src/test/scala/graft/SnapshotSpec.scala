@@ -97,6 +97,15 @@ class SnapshotSpec extends AnyFunSuite {
     // resume: a second ensure loads the committed snapshot, no rebuild
     val again = ensure()
     assert(builds == 1)
+    // a DIFFERENT april order must NOT serve the stored order-10 lists
+    // (incomparable cell spaces would silently drop true hits) — rebuild
+    graft.store.SpatialIndex.ensure(spark, root, "diamonds", grid,
+      order = 12) { builds += 1; diamonds(300).toDF() }
+    assert(builds == 2, "order mismatch must rebuild the index")
+    // and ensure() at the original order rebuilds again (latest snapshot is
+    // the order-12 one) — parameters always win over what happens to be stored
+    ensure()
+    assert(builds == 3)
     // persisted SideMeta round-trips (incl. the density statistic)
     val fresh = GeoEngine.sideMeta(diamonds(300), grid)
     assert(again.meta == fresh)
