@@ -454,6 +454,12 @@ object SparkEntry {
         .select(col("a"), col("b"))),
     "q_simhash_pairs" -> ((s, dir) =>
       TextOps.simhashDupPairs(s.read.parquet(s"$dir/documents.parquet"))),
+    // connected components over the verified near-dup pairs — the group
+    // table a pipeline keeps one doc per
+    "q_dedup_groups" -> ((s, dir) =>
+      TextOps.dupGroups(
+        TextOps.minhashDedupPairs(s.read.parquet(s"$dir/documents.parquet"),
+          tau = 0.5).select(col("a"), col("b")))),
 
     // --- text analysis ---
     "q_token_stats" -> ((s, dir) =>
@@ -853,7 +859,7 @@ object SparkEntry {
     val root = "/root/repo/src/test/resources/expected_sf0.01"
     Seq("q_fingerprint", "q_langid", "q_geotag_tiles", "q_hex_vectorize",
       "q_rasterize", "q_minhash_pairs", "q_simhash_pairs", "q_poly_relations",
-      "q_media_features", "q_embed_dedup")
+      "q_media_features", "q_embed_dedup", "q_dedup_groups")
       .map(q => q -> s"SELECT * FROM read_parquet('$root/$q.parquet')")
       .toMap
   }

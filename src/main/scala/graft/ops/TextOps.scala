@@ -244,6 +244,56 @@ object TextOps {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /**
+   * Dedup GROUPS from verified near-dup pairs: connected components by
+   * iterative min-label propagation — each doc converges to the smallest
+   * doc_id reachable through the pair graph (the group's canonical keeper).
+   * This is what a training pipeline consumes downstream of pair
+   * generation: keep one doc per group, drop the rest.
+   *
+   * Scale shape: near-dup components are stars/cliques (diameter ≤ ~2 from
+   * the star-linked bucket construction), so propagation converges in 2-3
+   * rounds of one equi-join + one agg each; every round materializes
+   * (cache + count) so the lineage stays flat. For adversarial long-chain
+   * graphs the classic large-star/small-star alternation bounds rounds by
+   * O(log n) — the same loop with two join rules; not needed for the dedup
+   * workload shape.
+   *
+   * Returns (doc_id, group_id) for every doc that appears in some pair
+   * (singletons are their own group by definition and are omitted, like the
+   * pair output itself).
+   */
+  def dupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edges, both directions
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("group_id", col("doc_id")).cache()
+    labels.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each doc takes min(own label, neighbors' labels)
+      val nbr = edges.join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("group_id")).as("nbr_min"))
+      val next = labels.join(nbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("group_id"), coalesce(col("nbr_min"), col("group_id")))
+            .as("group_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("group_id", "old"), Seq("doc_id"))
+        .where(col("group_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup pairs: equal simhash bucket (hamming-0 fast path).
     * Buckets above `maxBucket` star-link to the min doc id instead of the
     * quadratic self-join (same dup groups transitively, linear output). */

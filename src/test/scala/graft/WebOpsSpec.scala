@@ -152,6 +152,19 @@ class WebOpsSpec extends AnyFunSuite {
     assert(pairSet(64) == pairSet(Int.MaxValue))
   }
 
+  test("dupGroups: connected components converge to min-id labels") {
+    import spark.implicits._
+    // two components: a star {1,2,3,4}, a chain {10-11-12-13}; plus {20,21}
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 13L), (21L, 20L)).toDF("a", "b")
+    val groups = graft.ops.TextOps.dupGroups(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(groups(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(groups(_) == 10L))
+    assert(Seq(20L, 21L).forall(groups(_) == 20L))
+    assert(groups.size == 10)
+  }
+
   test("exact dedup: synthetic corpus with planted duplicates") {
     import spark.implicits._
     val docs = (0L until 100L).map(i => (i, if (i % 10 == 0) "dup text" else s"unique $i"))
