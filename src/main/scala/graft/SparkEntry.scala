@@ -577,6 +577,14 @@ object SparkEntry {
         .select(col("hexCell")).distinct()
         .select(col("hexCell").as("hex_cell"), cellWkt(col("hexCell")).as("wkt"))
     }),
+    // S2-style fallback cell index (north star: "H3 (and S2 fallback)"):
+    // the codegen HilbertCell expression IS the distributed form of
+    // HexGrid.s2LikeCell (parity-tested)
+    "q_s2_cells" -> ((s, dir) => {
+      docPoints(s, dir).select(col("id"),
+        graft.functions.GeoExprs.hilbertCell(col("x"), col("y"),
+          -180.0, -90.0, 360.0, 180.0, 12).as("s2_cell"))
+    }),
     "q_rasterize" -> ((s, dir) => {
       // vector->raster: boxes rasterized to APRIL interval lists; emit
       // interval/cell counts per geometry (deterministic)
@@ -859,7 +867,7 @@ object SparkEntry {
     val root = "/root/repo/src/test/resources/expected_sf0.01"
     Seq("q_fingerprint", "q_langid", "q_geotag_tiles", "q_hex_vectorize",
       "q_rasterize", "q_minhash_pairs", "q_simhash_pairs", "q_poly_relations",
-      "q_media_features", "q_embed_dedup", "q_dedup_groups")
+      "q_media_features", "q_embed_dedup", "q_dedup_groups", "q_s2_cells")
       .map(q => q -> s"SELECT * FROM read_parquet('$root/$q.parquet')")
       .toMap
   }

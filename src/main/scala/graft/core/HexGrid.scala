@@ -88,11 +88,16 @@ object HexGrid {
   def cellPolygon(cell: Long): Geom = Geom.polygon(cellBoundary(cell))
 
   /** S2-style fallback: Hilbert-ordered square cell id at `order` over a
-    * [-180,180]×[-90,90] grid. */
+    * [-180,180]×[-90,90] grid. Bit-identical to the codegen
+    * [[graft.functions.HilbertCell]] expression over the same raster
+    * (divide-by-cell-extent form), so the distributed column path and this
+    * scalar API agree exactly — parity-tested. */
   def s2LikeCell(lon: Double, lat: Double, order: Int): Long = {
     val n = 1L << order
-    val x = math.min(n - 1, math.max(0L, ((lon + 180.0) / 360.0 * n).toLong))
-    val y = math.min(n - 1, math.max(0L, ((lat + 90.0) / 180.0 * n).toLong))
-    Hilbert.xy2d(n, x, y)
+    val cellW = 360.0 / n
+    val cellH = 180.0 / n
+    @inline def clamp(v: Long): Long = if (v < 0) 0 else if (v >= n) n - 1 else v
+    Hilbert.xy2d(n, clamp(((lon + 180.0) / cellW).toLong),
+      clamp(((lat + 90.0) / cellH).toLong))
   }
 }

@@ -167,6 +167,39 @@ class ExtensionsSpec extends AnyFunSuite {
       disPlan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("s2-like cells: codegen HilbertCell ≡ HexGrid.s2LikeCell scalar API") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pts = Seq((-180.0, -90.0), (-179.99, -89.99), (0.0, 0.0),
+      (13.37, 52.52), (179.99, 89.99), (180.0, 90.0), (-77.03, 38.9))
+    val fromExpr = pts.toDF("x", "y")
+      .withColumn("c", graft.functions.GeoExprs.hilbertCell(col("x"), col("y"),
+        -180.0, -90.0, 360.0, 180.0, 12))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(fromExpr((x, y)) == core.HexGrid.s2LikeCell(x, y, 12),
+        s"s2 cell mismatch at ($x, $y)")
+    }
+  }
+
+  test("reference golden join through the SQL surface (rewrite + st_intersects)") {
+    import org.apache.spark.sql.functions._
+    // the reference's test2 workload: polygons_1 × polygons_2 intersection
+    // join = exactly 5 pairs, (0..4, 10) — here driven from plain SQL text
+    val dir = "/root/reference/Hecatoncheir/test/samples"
+    GeoEngine.readWkt(spark, s"$dir/data_sample_polygons_1.wkt", GeomType.POLYGON)
+      .toDF().createOrReplaceTempView("gold_r")
+    GeoEngine.readWkt(spark, s"$dir/data_sample_polygons_2.wkt", GeomType.POLYGON)
+      .toDF().createOrReplaceTempView("gold_s")
+    val df = spark.sql(
+      """SELECT r.id AS rid, s.id AS sid FROM gold_r r JOIN gold_s s
+        |ON st_intersects(r.gtype, r.coords, s.gtype, s.coords)""".stripMargin)
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 10L), (1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L)),
+      s"golden intersection pairs: $got")
+  }
+
   test("st_* predicates in a SQL join filter use codegen (no ScalaUDF in plan)") {
     mkView()
     val df = spark.sql(
