@@ -13,6 +13,10 @@ class CsvRangeSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("driver flagship entry() produces rows on sf0.001") {
+    assert(SparkEntry.entry(spark).limit(1).count() == 1L)
+  }
+
   test("readCsv: count header caps load, id column ignored, recID = line index") {
     val f = java.io.File.createTempFile("graft_csv", ".csv")
     val w = new java.io.PrintWriter(f)
