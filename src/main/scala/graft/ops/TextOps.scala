@@ -263,15 +263,39 @@ object TextOps {
    * (singletons are their own group by definition and are omitted, like the
    * pair output itself).
    */
-  def dupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dupGroups(pairs: DataFrame, maxIter: Int = 20,
+                localThreshold: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
+    import spark.implicits._
+    // size-based dispatch (same philosophy as the join chooser): a pair set
+    // that fits on the driver resolves in one collect + union-find — two
+    // jobs instead of one per propagation round. The distributed loop below
+    // is the 10¹²-doc path.
+    val nPairs = pairs.count()
+    if (nPairs <= localThreshold) {
+      val es = pairs.select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return parent.keys.toSeq.map(d => (d, find(d))).toDF("doc_id", "group_id")
+    }
     // undirected edges, both directions
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("group_id", col("doc_id")).cache()
-    labels.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {

@@ -163,6 +163,11 @@ class WebOpsSpec extends AnyFunSuite {
     assert(Seq(10L, 11L, 12L, 13L).forall(groups(_) == 10L))
     assert(Seq(20L, 21L).forall(groups(_) == 20L))
     assert(groups.size == 10)
+    // the distributed propagation path (forced) must agree with the
+    // driver union-find path exactly
+    val distributed = graft.ops.TextOps.dupGroups(pairs, localThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(distributed == groups)
   }
 
   test("exact dedup: synthetic corpus with planted duplicates") {
