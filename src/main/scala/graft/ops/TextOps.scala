@@ -267,13 +267,16 @@ object TextOps {
                 localThreshold: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // the pair pipeline (LSH + verification) feeds the size probe AND the
+    // grouping — cache it so it runs once, not once per action
+    val pc = pairs.cache()
     // size-based dispatch (same philosophy as the join chooser): a pair set
     // that fits on the driver resolves in one collect + union-find — two
     // jobs instead of one per propagation round. The distributed loop below
     // is the 10¹²-doc path.
-    val nPairs = pairs.count()
+    val nPairs = pc.count()
     if (nPairs <= localThreshold) {
-      val es = pairs.select(col("a"), col("b")).collect()
+      val es = pc.select(col("a"), col("b")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -291,8 +294,8 @@ object TextOps {
       return parent.keys.toSeq.map(d => (d, find(d))).toDF("doc_id", "group_id")
     }
     // undirected edges, both directions
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val edges = pc.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pc.select(col("b").as("src"), col("a").as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("group_id", col("doc_id")).cache()
