@@ -469,17 +469,15 @@ object SparkEntry {
     "q_lang_dist" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .groupBy("lang").agg(count(lit(1)).as("n"))),
-    "q_langid" -> ((s, dir) => {
-      val lidUdf = udf { (t: String) => TextOps.langId(t) }
+    "q_langid" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), lidUdf(col("text")).as("lang_pred"))
-    }),
-    "q_fingerprint" -> ((s, dir) => {
-      val fpUdf = udf { (t: String) => TextOps.fingerprint(t) }
-      val shUdf = udf { (t: String) => TextOps.simhash64(t) }
+        .select(col("doc_id"),
+          graft.functions.TextExprs.langId(col("text")).as("lang_pred"))),
+    "q_fingerprint" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), fpUdf(col("text")).as("fp"), shUdf(col("text")).as("sh"))
-    }),
+        .select(col("doc_id"),
+          graft.functions.TextExprs.fingerprint(col("text")).as("fp"),
+          graft.functions.TextExprs.simhash64(col("text")).as("sh"))),
 
     // --- similarity search ---
     "q_ann_topk" -> ((s, dir) => {

@@ -103,13 +103,13 @@ object Ann {
               k: Int, nlist: Int = 32, nprobe: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    @inline def mix(v: Long): Long = {
-      var h = v * 0x9e3779b97f4a7c15L
-      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33); h
-    }
+    // deterministic uniform sample: order by a codegen hash of the id (no
+    // ScalaUDF over the full table; xxhash64 is builtin, stable across runs
+    // and retries). orderBy+limit optimizes to TakeOrderedAndProject — a
+    // per-partition top-nlist heap, never a full sort materialization.
     val centroids: Array[(Int, Seq[Float])] = embeddings
       .select(col("vec_id"), col("embedding"))
-      .orderBy(udf { (id: Long) => mix(id) }.apply(col("vec_id")))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nlist).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1)) }
     require(centroids.nonEmpty,

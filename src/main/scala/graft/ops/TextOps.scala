@@ -206,20 +206,18 @@ object TextOps {
                         maxBucket: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     import org.apache.spark.sql.expressions.Window
-    val rows = k / bands
-    val sigUdf = udf { (t: String) => minhash(t, k, gram) }
-    val withSig = docs.select(col("doc_id"), sigUdf(col("text")).as("sig"))
-    val bandUdf = udf { (sig: Seq[Long]) =>
-      (0 until bands).map { b =>
-        val slice = sig.slice(b * rows, (b + 1) * rows)
-        (b, slice.foldLeft(0xcbf29ce484222325L)((h, v) => (h ^ v) * 0x100000001b3L))
-      }
-    }
+    import graft.functions.TextExprs
+    // signature + per-band bucket hash as codegen expressions (TextKernels):
+    // these run once per document at the 10¹²-row target — no ScalaUDF
+    // boxing in the path. Band index = array position via posexplode
+    // (bit-identical buckets to the former (band, hash) struct explode).
+    val withSig = docs.select(col("doc_id"),
+      TextExprs.minhashSig(col("text"), k, gram).as("sig"))
     // candidate generation shuffles only (band, bucket, id) — shingle arrays
     // join in late, once per distinct candidate pair, not per bucket collision
     val banded = withSig
-      .withColumn("bh", explode(bandUdf(col("sig"))))
-      .select(col("doc_id"), col("bh._1").as("band"), col("bh._2").as("bucket"))
+      .select(col("doc_id"),
+        posexplode(TextExprs.bandBuckets(col("sig"), bands)).as(Seq("band", "bucket")))
     val w = Window.partitionBy("band", "bucket")
     val sized = banded
       .withColumn("bsz", count(lit(1)).over(w))
@@ -232,32 +230,40 @@ object TextOps {
     val starPairs = sized.where(col("bsz") > maxBucket && col("doc_id") =!= col("bmin"))
       .select(col("bmin").as("a"), col("doc_id").as("b"))
     val candidates = smallPairs.unionByName(starPairs).distinct()
-    val shUdf = udf { (t: String) => shingleHashes(t, gram) }
-    val shingles = docs.select(col("doc_id"), shUdf(col("text")).as("sh"))
-    val jacUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
-      sortedJaccard(x.toArray, y.toArray) }
+    val shingles = docs.select(col("doc_id"),
+      TextExprs.shingleHashes(col("text"), gram).as("sh"))
     candidates
       .join(shingles.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(shingles.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
-      .withColumn("jaccard", jacUdf(col("sha"), col("shb")))
+      .withColumn("jaccard", TextExprs.sortedJaccard(col("sha"), col("shb")))
       .where(col("jaccard") >= tau)
       .select(col("a"), col("b"), col("jaccard"))
   }
 
   /**
-   * Dedup GROUPS from verified near-dup pairs: connected components by
-   * iterative min-label propagation — each doc converges to the smallest
-   * doc_id reachable through the pair graph (the group's canonical keeper).
-   * This is what a training pipeline consumes downstream of pair
-   * generation: keep one doc per group, drop the rest.
+   * Dedup GROUPS from verified near-dup pairs: connected components — each
+   * doc converges to the smallest doc_id reachable through the pair graph
+   * (the group's canonical keeper). This is what a training pipeline
+   * consumes downstream of pair generation: keep one doc per group, drop
+   * the rest.
    *
-   * Scale shape: near-dup components are stars/cliques (diameter ≤ ~2 from
-   * the star-linked bucket construction), so propagation converges in 2-3
-   * rounds of one equi-join + one agg each; every round materializes
-   * (cache + count) so the lineage stays flat. For adversarial long-chain
-   * graphs the classic large-star/small-star alternation bounds rounds by
-   * O(log n) — the same loop with two join rules; not needed for the dedup
-   * workload shape.
+   * Distributed path: large-star / small-star alternation (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+   * algorithm). Each round rewrites the edge set with two rules —
+   * large-star hangs every larger neighbor of u onto min(Γ⁺(u)), small-star
+   * hangs u and its smaller neighbors there — and converges to stars
+   * centered at each component's minimum node in O(log n) rounds on ANY
+   * graph shape (min-label propagation, the previous implementation, was
+   * O(diameter): fine for the star/clique components the star-linked LSH
+   * buckets produce, adversarial on long chains). Every round materializes
+   * (cache + fingerprint agg) so the lineage stays flat; convergence is an
+   * edge-set fixed point detected by (count, bit_xor of per-edge hash) —
+   * xor, not sum, so ANSI overflow checking never fires.
+   *
+   * Cache hygiene: every intermediate (the input pair pipeline, each
+   * round's edge set) is unpersisted before return; the RETURNED frame is
+   * cached and materialized (lineage on it is the whole iterative loop —
+   * callers that are done with it may `unpersist()`).
    *
    * Returns (doc_id, group_id) for every doc that appears in some pair
    * (singletons are their own group by definition and are omitted, like the
@@ -272,12 +278,13 @@ object TextOps {
     val pc = pairs.cache()
     // size-based dispatch (same philosophy as the join chooser): a pair set
     // that fits on the driver resolves in one collect + union-find — two
-    // jobs instead of one per propagation round. The distributed loop below
-    // is the 10¹²-doc path.
+    // jobs instead of one per round. The distributed loop below is the
+    // 10¹²-doc path.
     val nPairs = pc.count()
     if (nPairs <= localThreshold) {
       val es = pc.select(col("a"), col("b")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
+      pc.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -293,31 +300,74 @@ object TextOps {
       }
       return parent.keys.toSeq.map(d => (d, find(d))).toDF("doc_id", "group_id")
     }
-    // undirected edges, both directions
-    val edges = pc.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pc.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("group_id", col("doc_id")).cache()
+    // edges kept canonical as (hi > lo); adjacency rebuilt per round
+    def adj(e: DataFrame): DataFrame =
+      e.select(col("hi").as("src"), col("lo").as("dst"))
+        .unionByName(e.select(col("lo").as("src"), col("hi").as("dst")))
+    // closed-neighborhood minimum per node
+    def neighborhoodMin(a: DataFrame): DataFrame =
+      a.groupBy("src").agg(least(col("src"), min(col("dst"))).as("m"))
+    // large-star(u): ∀v ∈ Γ(u), v > u → edge (v, min(Γ⁺(u)))
+    def largeStar(e: DataFrame): DataFrame = {
+      val a = adj(e)
+      a.where(col("dst") > col("src")).join(neighborhoodMin(a), Seq("src"))
+        .select(col("dst").as("hi"), col("m").as("lo"))
+        .where(col("hi") =!= col("lo")).distinct()
+    }
+    // small-star(u): ∀v ∈ Γ(u) ∪ {u}, v ≤ u, v ≠ m → edge (v, min(Γ⁺(u)))
+    def smallStar(e: DataFrame): DataFrame = {
+      val a = adj(e)
+      val m = neighborhoodMin(a)
+      a.where(col("dst") < col("src")).join(m, Seq("src"))
+        .select(col("dst").as("node"), col("m"))
+        .unionByName(m.select(col("src").as("node"), col("m")))
+        .where(col("node") =!= col("m"))
+        .select(col("node").as("hi"), col("m").as("lo")).distinct()
+    }
+    // fixed-point fingerprint: one flat agg, no collect of the edge set
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // every round: cache + materialize + FLATTEN (LogicalRDD re-root). The
+    // flatten is load-bearing — without it round N's logical plan embeds
+    // rounds 1..N-1 with branching ≥2 (adj() references the edge set twice),
+    // an exponentially-growing tree that OOMs in plan stringification alone
+    // by ~15 rounds. Evaluation still flows through each round's cache.
+    def flat(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftColumnBridge.flattenLineage(df)
+    var curCache = pc.select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .where(col("hi") =!= col("lo")).distinct().cache()
+    var cur = flat(curCache)
+    var fp = fingerprint(cur)
+    pc.unpersist()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // each doc takes min(own label, neighbors' labels)
-      val nbr = edges.join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("group_id")).as("nbr_min"))
-      val next = labels.join(nbr, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("group_id"), coalesce(col("nbr_min"), col("group_id")))
-            .as("group_id"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("group_id", "old"), Seq("doc_id"))
-        .where(col("group_id") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      val lsCache = largeStar(cur).cache()
+      lsCache.count() // materialize so the previous round can be released
+      curCache.unpersist()
+      val ls = flat(lsCache)
+      val ssCache = smallStar(ls).cache()
+      val ss = flat(ssCache)
+      val nextFp = fingerprint(ss) // materializes ssCache
+      lsCache.unpersist()
+      curCache = ssCache
+      cur = ss
+      converged = nextFp == fp
+      fp = nextFp
       i += 1
     }
+    // at the fixed point every component is a star centered at its minimum:
+    // leaves are the hi side (one edge each), centers the deduped lo side
+    val labels = cur.select(col("hi").as("doc_id"), col("lo").as("group_id"))
+      .unionByName(
+        cur.select(col("lo").as("doc_id"), col("lo").as("group_id")).distinct())
+      .cache()
+    labels.count()
+    curCache.unpersist()
     labels
   }
 
@@ -327,8 +377,8 @@ object TextOps {
   def simhashDupPairs(docs: DataFrame, maxBucket: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     import org.apache.spark.sql.expressions.Window
-    val shUdf = udf { (t: String) => simhash64(t) }
-    val withH = docs.select(col("doc_id"), shUdf(col("text")).as("sh"))
+    val withH = docs.select(col("doc_id"),
+      graft.functions.TextExprs.simhash64(col("text")).as("sh"))
     val w = Window.partitionBy("sh")
     val sized = withH
       .withColumn("bsz", count(lit(1)).over(w))

@@ -163,11 +163,65 @@ class WebOpsSpec extends AnyFunSuite {
     assert(Seq(10L, 11L, 12L, 13L).forall(groups(_) == 10L))
     assert(Seq(20L, 21L).forall(groups(_) == 20L))
     assert(groups.size == 10)
-    // the distributed propagation path (forced) must agree with the
-    // driver union-find path exactly
+    // the distributed large-star/small-star path (forced) must agree with
+    // the driver union-find path exactly
     val distributed = graft.ops.TextOps.dupGroups(pairs, localThreshold = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(distributed == groups)
+  }
+
+  test("text-dedup plans are UDF-free (codegen kernels)") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"some text body $i with words"))
+      .toDF("doc_id", "text")
+    for ((name, df) <- Seq(
+        "minhash_pairs" -> TextOps.minhashDedupPairs(docs),
+        "simhash_pairs" -> TextOps.simhashDupPairs(docs))) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("UDF"), s"ScalaUDF survives in $name:\n$plan")
+    }
+    // non-local source (range) so ConvertToLocalRelation can't fold the
+    // projection away before we can inspect it
+    val rangeDocs = spark.range(50).select(col("id").as("doc_id"),
+      concat(lit("some text body "), col("id")).as("text"))
+    val fpPlan = rangeDocs.select(
+        graft.functions.TextExprs.fingerprint(col("text")).as("fp"),
+        graft.functions.TextExprs.simhash64(col("text")).as("sh"))
+      .queryExecution.optimizedPlan.toString
+    assert(!fpPlan.contains("UDF") && fpPlan.contains("fingerprint"))
+  }
+
+  test("dupGroups: adversarial long chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // a 512-node path graph (diameter 511) — min-label propagation needed
+    // O(diameter) rounds here; large-star/small-star must finish within
+    // 2·log2(n) + 2 alternation rounds (maxIter caps the loop, so a correct
+    // result under this cap IS the round-complexity evidence)
+    val n = 512
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val cap = 2 * (math.log(n) / math.log(2)).ceil.toInt + 2
+    val groups = graft.ops.TextOps
+      .dupGroups(pairs, maxIter = cap, localThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(groups.size == n)
+    assert((1 to n).forall(i => groups(i.toLong) == 1L),
+      "every chain node labels to the component minimum")
+  }
+
+  test("dupGroups: no leaked cached frames (only the returned one)") {
+    import spark.implicits._
+    spark.sharedState.cacheManager.clearCache()
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    // local path: everything released
+    graft.ops.TextOps.dupGroups(pairs).collect()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "local path must unpersist the pair cache")
+    // distributed path: at most the returned (documented-cached) frame
+    val out = graft.ops.TextOps.dupGroups(pairs, localThreshold = 0L)
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1,
+      s"round intermediates leaked: ${spark.sparkContext.getPersistentRDDs.size} cached RDDs")
+    out.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
   test("exact dedup: synthetic corpus with planted duplicates") {
