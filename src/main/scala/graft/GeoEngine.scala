@@ -168,7 +168,8 @@ object GeoEngine {
   final case class SideMeta(hasWide: Boolean, hasNarrow: Boolean,
                             hasNonRect: Boolean, hasNonBox: Boolean,
                             hasRect: Boolean, hasBox: Boolean,
-                            maxHomeTileCnt: Long = 0L)
+                            maxHomeTileCnt: Long = 0L,
+                            maxCoarseCellCnt: Long = 0L)
 
   /** Home fine tile of the MBR min corner (pure column tile math). */
   private def homeTileCol(grid: GridConfig): Column =
@@ -209,14 +210,35 @@ object GeoEngine {
         count(lit(1)).as("c"), flag(wide).as("w"), flag(!wide).as("na"),
         flag(nonRect).as("nr"), flag(nonBox).as("nb"), flag(rect).as("re"),
         flag(box).as("bx"))
-      val row = grouped.agg(
+      // coarse-cell histogram derived from the fine partial: the grids nest
+      // (globalPpd is an exact multiple of coarsePpd — the reference's
+      // 872 = 8·109 layout), so a fine home tile's coarse cell is index
+      // division, and the per-coarse-cell count is a sum over its ≤ fpc²
+      // fine tiles. Costs one extra two-stage agg over the ≤ ppd²-row
+      // partial — NOT a second pass over the data. This is the density
+      // statistic for the COARSE sub-joins: a pile-up of wide objects in
+      // one coarse cell takes the O(k²) hash filter unless detected here
+      // (the fine histogram cannot see it — wide objects never enter the
+      // fine join).
+      require(grid.globalPpd % grid.coarsePpd == 0,
+        s"nested grids required for the coarse density statistic: " +
+          s"globalPpd=${grid.globalPpd} coarsePpd=${grid.coarsePpd}")
+      val fpc = grid.finePerCoarse
+      val fi = pmod(col("t"), lit(grid.globalPpd.toLong))
+      val fj = floor(col("t") / lit(grid.globalPpd.toLong))
+      val ct = floor(fi / lit(fpc)) + floor(fj / lit(fpc)) * lit(grid.coarsePpd.toLong)
+      val byCoarse = grouped.groupBy(ct.as("ct")).agg(
+        sum("c").as("cc"), max("c").as("mc"), max("w").as("w"),
+        max("na").as("na"), max("nr").as("nr"), max("nb").as("nb"),
+        max("re").as("re"), max("bx").as("bx"))
+      val row = byCoarse.agg(
         coalesce(max("w"), lit(0)), coalesce(max("na"), lit(0)),
         coalesce(max("nr"), lit(0)), coalesce(max("nb"), lit(0)),
         coalesce(max("re"), lit(0)), coalesce(max("bx"), lit(0)),
-        coalesce(max("c"), lit(0L))).head()
+        coalesce(max("mc"), lit(0L)), coalesce(max("cc"), lit(0L))).head()
       SideMeta(row.getInt(0) == 1, row.getInt(1) == 1, row.getInt(2) == 1,
         row.getInt(3) == 1, row.getInt(4) == 1, row.getInt(5) == 1,
-        row.getLong(6))
+        row.getLong(6), row.getLong(7))
     }
   }
 
@@ -245,19 +267,25 @@ object GeoEngine {
    * evaluations — the sweep caps hot-tile cost without salting.
    */
   private def sweepTile(grid: GridConfig, tile: Long,
-      rsIn: Iterator[SweepRow], ssIn: Iterator[SweepRow]): Iterator[CandRow] = {
+      rsIn: Iterator[SweepRow], ssIn: Iterator[SweepRow],
+      fine: Boolean = true): Iterator[CandRow] = {
     val rs = rsIn.toArray
     val ss = ssIn.toArray
     if (rs.isEmpty || ss.isEmpty) return Iterator.empty
     java.util.Arrays.sort(rs, Ordering.by((w: SweepRow) => w.ymin))
     java.util.Arrays.sort(ss, Ordering.by((w: SweepRow) => w.ymin))
     val out = scala.collection.mutable.ArrayBuffer.empty[CandRow]
+    // reference-point dedup at THIS sweep's granularity (fine tiles for the
+    // narrow×narrow join, coarse cells for the wide sub-joins) — same rule
+    // the hash path applies per sub-join
+    val ppd = if (fine) grid.globalPpd else grid.coarsePpd
+    @inline def cellX(x: Double): Int = if (fine) grid.fineX(x) else grid.coarseX(x)
+    @inline def cellY(y: Double): Int = if (fine) grid.fineY(y) else grid.coarseY(y)
     @inline def emit(r: SweepRow, s: SweepRow): Unit =
       if (r.xmax >= s.xmin && r.xmin <= s.xmax &&
-          grid.tileId(
-            math.min(math.max(grid.fineX(math.max(r.xmin, s.xmin)), 0), grid.globalPpd - 1),
-            math.min(math.max(grid.fineY(math.max(r.ymin, s.ymin)), 0), grid.globalPpd - 1)
-          ) == tile)
+          math.min(math.max(cellX(math.max(r.xmin, s.xmin)), 0), ppd - 1).toLong +
+          math.min(math.max(cellY(math.max(r.ymin, s.ymin)), 0), ppd - 1).toLong * ppd
+            == tile)
         out += CandRow(r.id, s.id, r.g, s.g,
           r.xmin, r.ymin, r.xmax, r.ymax, s.xmin, s.ymin, s.xmax, s.ymax)
     // pointer into ss of the first element with ymin >= current r.ymin
@@ -308,7 +336,8 @@ object GeoEngine {
       broadcastS: Boolean, saltFactor: Int, maxFineCover: Int,
       rm: SideMeta, sm: SideMeta,
       payload: String => Seq[Column],
-      sweepFine: Boolean = false): DataFrame = {
+      sweepFine: Boolean = false,
+      sweepCoarse: Boolean = false): DataFrame = {
     val rHasWide = rm.hasWide; val sHasWide = sm.hasWide
     val slim = !broadcastS
     val wide = fineCoverCnt(grid) > maxFineCover
@@ -357,39 +386,52 @@ object GeoEngine {
       rt.join(st, keys).where(mbrOverlap && dedup).drop("tile", "salt")
     }
 
+    // dense-cell physical path: cogroup per tile + forward plane sweep, at
+    // either grid level (fine for narrow×narrow, coarse for the wide
+    // sub-joins — a pile-up of wide objects in one coarse cell would cost
+    // the hash filter O(k²) there exactly as a hot fine tile would)
+    def cogroupSweep(selR: Int, selS: Int, fine: Boolean): DataFrame = {
+      val spark = rIx.sparkSession
+      import spark.implicits._
+      val (extX, extY, ppd) =
+        if (fine) (grid.fineExtX, grid.fineExtY, grid.globalPpd)
+        else (grid.coarseExtX, grid.coarseExtY, grid.coarsePpd)
+      def sweepSide(df: DataFrame, sel: Int): Dataset[SweepRow] = {
+        val filtered = sel match {
+          case -1 => df.where(!wide)
+          case 1  => df.where(wide)
+          case _  => df
+        }
+        explodeCover(filtered, extX, extY, grid.xMin, grid.yMin, ppd)
+          .select(col("tile"), col("id"), col("gtype").as("g"),
+            col("xmin"), col("ymin"), col("xmax"), col("ymax"))
+          .as[SweepRow]
+      }
+      sweepSide(rIx, selR).groupByKey(_.tile)
+        .cogroup(sweepSide(sIx, selS).groupByKey(_.tile)) { (tile, rs, ss) =>
+          sweepTile(grid, tile, rs, ss, fine)
+        }.toDF()
+    }
     def fineJoin =
-      if (sweepFine && slim) {
-        // dense-tile physical path: cogroup per tile + forward plane sweep
-        val spark = rIx.sparkSession
-        import spark.implicits._
-        def sweepSide(df: DataFrame): Dataset[SweepRow] =
-          explodeCover(df.where(!wide), grid.fineExtX, grid.fineExtY,
-            grid.xMin, grid.yMin, grid.globalPpd)
-            .select(col("tile"), col("id"), col("gtype").as("g"),
-              col("xmin"), col("ymin"), col("xmax"), col("ymax"))
-            .as[SweepRow]
-        sweepSide(rIx).groupByKey(_.tile)
-          .cogroup(sweepSide(sIx).groupByKey(_.tile)) { (tile, rs, ss) =>
-            sweepTile(grid, tile, rs, ss)
-          }.toDF()
-      } else subJoin(
+      if (sweepFine && slim) cogroupSweep(-1, -1, fine = true)
+      else subJoin(
         side(rIx, "r", "rid", fine = true, -1),
         side(sIx, "s", "sid", fine = true, -1),
         grid.fineExtX, grid.fineExtY, grid.globalPpd)
+    def coarseJoin(selR: Int, selS: Int) =
+      if (sweepCoarse && slim) cogroupSweep(selR, selS, fine = false)
+      else subJoin(
+        side(rIx, "r", "rid", fine = false, selR),
+        side(sIx, "s", "sid", fine = false, selS),
+        grid.coarseExtX, grid.coarseExtY, grid.coarsePpd)
     // sub-joins whose participating level-class is provably empty on either
     // side are dropped from the plan entirely (no scan, no exchange): an
     // all-wide side never feeds the fine join; a no-wide side never feeds
     // its coarse join
     val parts = Seq(
       if (rm.hasNarrow && sm.hasNarrow) Some(fineJoin) else None,
-      if (sHasWide) Some(subJoin(
-        side(rIx, "r", "rid", fine = false, 0),
-        side(sIx, "s", "sid", fine = false, 1),
-        grid.coarseExtX, grid.coarseExtY, grid.coarsePpd)) else None,
-      if (rHasWide && sm.hasNarrow) Some(subJoin(
-        side(rIx, "r", "rid", fine = false, 1),
-        side(sIx, "s", "sid", fine = false, -1),
-        grid.coarseExtX, grid.coarseExtY, grid.coarsePpd)) else None
+      if (sHasWide) Some(coarseJoin(0, 1)) else None,
+      if (rHasWide && sm.hasNarrow) Some(coarseJoin(1, -1)) else None
     ).flatten
     // an empty (or degenerate) input leaves no sub-join — keep the fine join
     // so the schema (and the empty result) still materialize
@@ -667,6 +709,13 @@ object GeoEngine {
     // sweep wins >2×; O(k²) vs O(k·window) diverges fast past it).
     val sweepFine = sweep.getOrElse(
       slim && math.max(rm.maxHomeTileCnt, sm.maxHomeTileCnt) > hotTileThreshold)
+    // coarse sub-joins have the same O(k²) failure mode when wide objects
+    // pile into one coarse cell; keyed off the coarse-cell histogram (the
+    // fine histogram cannot see wide objects — they never enter the fine
+    // join). Only consulted when a coarse sub-join will actually exist.
+    val sweepCoarse = sweep.getOrElse(
+      slim && (rm.hasWide || sm.hasWide) &&
+        math.max(rm.maxCoarseCellCnt, sm.maxCoarseCellCnt) > hotTileThreshold)
 
     // containment predicates take the home-cell candidate plan (probe side
     // ships one row per object; no dedup); everything else multi-res tiles
@@ -682,7 +731,8 @@ object GeoEngine {
           innerIsR = contRinS)
       else mrCandidates(rIx, sIx, grid, broadcastS, saltFactor,
         maxFineCover, rm, sm,
-        if (slim) _ => Nil else payloadCols, sweepFine = sweepFine && slim)
+        if (slim) _ => Nil else payloadCols, sweepFine = sweepFine && slim,
+        sweepCoarse = sweepCoarse && slim)
 
     def refineExpr: Column =
       GeoExprs.stRefine(pred, col("rg"), col("rc"), col("sg"), col("sc"))

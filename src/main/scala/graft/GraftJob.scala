@@ -18,7 +18,13 @@ import graft.web.Pages
  *                   Iceberg/parquet read of a real crawl)
  *   2. geotagged  — deterministic url/text geotag
  *   3. tiles      — Dataset[TileAssignment] on the world grid + hex cells
- *   4. joined     — spatial join page-points × box table (salted)
+ *   4. index      — persisted APRIL index over the polygon table
+ *                   (SpatialIndex.ensure: rebuild only on param mismatch —
+ *                   the reference's buildIndex/persist=true lifecycle,
+ *                   API/Hecatoncheir.cpp:509-564)
+ *   5. joined     — spatial join page-points × stored polygon index
+ *                   (reads the index snapshot + its SideMeta; no
+ *                   re-rasterization, no metadata re-scan)
  *
  * Every manifest records lineage (stage inputs + parameters + app version)
  * and per-partition row counts alongside the snapshot.
@@ -37,6 +43,14 @@ object GraftJob {
     val spark = (if (sys.props.contains("spark.master")) builder
                  else builder.master(s"local[$cpus]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println(run(spark, root, nPages))
+    spark.stop()
+  }
+
+  /** The pipeline itself, separated from session lifecycle so tests can
+    * drive kill/resume against a shared session. Returns the summary JSON
+    * line main() prints. */
+  def run(spark: SparkSession, root: String, nPages: Long): String = {
     import spark.implicits._
 
     val grid = Pages.WorldGrid
@@ -65,36 +79,51 @@ object GraftJob {
       GeoEngine.tileAssignments(tagged, grid, hexRes = 7).toDF()
     }
 
+    // stage 4: the reference's buildIndex lifecycle — rasterize + metadata
+    // prepass once, commit as a snapshot; a restarted run (same params)
+    // loads instead of rebuilding, a param change forces a rebuild.
+    // SpatialIndex.ensure IS the stage's resume logic (it validates grid /
+    // order / maxFineCover against the manifest), so no runStage wrapper.
+    val aprilOrder = 10
+    val index = graft.store.SpatialIndex.ensure(
+      spark, root, "polygons_idx", grid, aprilOrder) {
+      // deterministic diamond polygons (non-rectangular, so the APRIL
+      // interval filter genuinely resolves pairs instead of being pruned
+      // by the all-box fast plan)
+      spark.range(2000).select(col("id"),
+        ((col("id") * 13 % 2800) / 8.0 - 175.0).as("cx"),
+        ((col("id") * 17 % 1280) / 8.0 - 80.0).as("cy"),
+        ((col("id") % 40 + 2) / 8.0).as("hw"), ((col("id") % 30 + 2) / 8.0).as("hh"))
+        .select(col("id"), lit(GeomType.POLYGON).as("gtype"),
+          array(col("cx") - col("hw"), col("cy"), col("cx"), col("cy") - col("hh"),
+                col("cx") + col("hw"), col("cy"), col("cx"), col("cy") + col("hh"),
+                col("cx") - col("hw"), col("cy")).as("coords"),
+          (col("cx") - col("hw")).as("xmin"), (col("cy") - col("hh")).as("ymin"),
+          (col("cx") + col("hw")).as("xmax"), (col("cy") + col("hh")).as("ymax"))
+    }
+
     val joined = Snapshots.runStage(spark, root, "joined",
-      Map("stage" -> "spatial_join", "input" -> "geotagged+boxes",
-          "predicate" -> "intersects", "app" -> version)) {
+      Map("stage" -> "spatial_join", "input" -> "geotagged+polygons_idx",
+          "predicate" -> "intersects", "april_order" -> aprilOrder.toString,
+          "app" -> version)) {
       val pts = tagged.select(col("id"), lit(GeomType.POINT).as("gtype"),
         array(col("x"), col("y")).as("coords"),
         col("x").as("xmin"), col("y").as("ymin"),
         col("x").as("xmax"), col("y").as("ymax")).as[GeoRow]
-      val boxes = spark.range(2000).select(col("id"), lit(GeomType.BOX).as("gtype"),
-        ((col("id") * 13 % 2800) / 8.0 - 175.0).as("cx"),
-        ((col("id") * 17 % 1280) / 8.0 - 80.0).as("cy"),
-        ((col("id") % 40 + 2) / 8.0).as("hw"), ((col("id") % 30 + 2) / 8.0).as("hh"))
-        .select(col("id"), col("gtype"),
-          array(col("cx") - col("hw"), col("cy") - col("hh"),
-                col("cx") + col("hw"), col("cy") - col("hh"),
-                col("cx") + col("hw"), col("cy") + col("hh"),
-                col("cx") - col("hw"), col("cy") + col("hh"),
-                col("cx") - col("hw"), col("cy") - col("hh")).as("coords"),
-          (col("cx") - col("hw")).as("xmin"), (col("cy") - col("hh")).as("ymin"),
-          (col("cx") + col("hw")).as("xmax"), (col("cy") + col("hh")).as("ymax"))
-        .as[GeoRow]
-      // broadcast-vs-shuffle picked by the size-based chooser, not hard-coded
-      // — this job is the template users copy
-      GeoEngine.spatialJoinAuto(pts, boxes, Predicates.INTERSECTS, grid)
+      // queries run against the STORED index: pre-rasterized interval
+      // columns + persisted SideMeta (no per-run rasterize / prepass).
+      // APRIL joins take the slim shuffle plan, never broadcast — the
+      // payload arrays would multiply through the tile explode.
+      GeoEngine.spatialJoin(pts, index.df.as[GeoRow], Predicates.INTERSECTS,
+        grid, useApril = true, aprilOrder = aprilOrder,
+        sMeta = Some(index.meta))
     }
 
-    println(s"""{"job":"graft-pipeline","pages":${pages.count()},""" +
-      s""""tiles":${tiles.count()},"joined":${joined.count()},""" +
-      s""""snapshots":"${Seq("pages", "geotagged", "tiles", "joined")
+    s"""{"job":"graft-pipeline","pages":${pages.count()},""" +
+      s""""tiles":${tiles.count()},"indexed":${index.df.count()},""" +
+      s""""joined":${joined.count()},""" +
+      s""""snapshots":"${Seq("pages", "geotagged", "tiles", "polygons_idx", "joined")
         .map(t => s"$t=snap-${Snapshots.latestId(root, t).getOrElse(0L)}")
-        .mkString(",")}"}""")
-    spark.stop()
+        .mkString(",")}"}"""
   }
 }

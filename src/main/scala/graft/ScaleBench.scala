@@ -193,12 +193,54 @@ object ScaleBench {
     }
     require(nSweep == nHash, s"sweep changed results: $nSweep vs $nHash")
 
+    // -------- wide-object hot COARSE cell: coarse-level sweep selection ----
+    // thousands of WIDE boxes (cover > maxFineCover fine tiles) whose min
+    // corners pile into one coarse cell. These never enter the fine join, so
+    // the fine histogram is blind to them; the coarse-cell statistic must
+    // route the coarse sub-join to the sweep (and win) — the same O(k²)
+    // failure mode as the hot fine tile, one grid level up.
+    def hotCoarse(seed: Int, n: Long) = spark.range(n).select(
+      (col("id") + 5000000L * (seed + 1)).as("id"),
+      lit(GeomType.BOX).as("gtype"),
+      // min corners inside one ~3.3°×1.56° coarse cell, spread across fine tiles
+      (lit(9.0) + (col("id") * (13 + seed) % 1000) / 1000.0).as("x0"),
+      (lit(20.0) + (col("id") * (17 + seed) % 600) / 1000.0).as("y0"))
+      .select(col("id"), col("gtype"),
+        // 8° wide (≈20 fine tiles → coarse level) but THIN (0.005°): output
+        // pairs stay ~2% of k² while the hash path still pays all k² filter
+        // evaluations — the shape that isolates candidate-generation cost
+        array(col("x0"), col("y0"), col("x0") + 8.0, col("y0"),
+          col("x0") + 8.0, col("y0") + 0.005, col("x0"), col("y0") + 0.005,
+          col("x0"), col("y0")).as("coords"),
+        col("x0").as("xmin"), col("y0").as("ymin"),
+        (col("x0") + 8.0).as("xmax"), (col("y0") + 0.005).as("ymax"))
+      .as[GeoRow]
+    val wideR = hotCoarse(0, 12000).cache(); val wideS = hotCoarse(3, 12000).cache()
+    wideR.count(); wideS.count()
+    val wideRMeta = Some(GeoEngine.sideMeta(wideR, grid))
+    val wideSMeta = Some(GeoEngine.sideMeta(wideS, grid))
+    var cSweepSec = Double.MaxValue; var cHashSec = Double.MaxValue
+    var nCSweep = 0L; var nCHash = 0L
+    for (_ <- 1 to iters) {
+      val t9 = System.nanoTime()
+      nCSweep = GeoEngine.spatialJoin(wideR, wideS, Predicates.INTERSECTS, grid,
+        rMeta = wideRMeta, sMeta = wideSMeta).count()
+      val t10 = System.nanoTime()
+      nCHash = GeoEngine.spatialJoin(wideR, wideS, Predicates.INTERSECTS, grid,
+        rMeta = wideRMeta, sMeta = wideSMeta, sweep = Some(false)).count()
+      val t11 = System.nanoTime()
+      cSweepSec = math.min(cSweepSec, (t10 - t9) / 1e9)
+      cHashSec = math.min(cHashSec, (t11 - t10) / 1e9)
+    }
+    require(nCSweep == nCHash, s"coarse sweep changed results: $nCSweep vs $nCHash")
+
     val total = tileSec + joinSec
     println(s"""{"metric":"scale_headline","cpus":$cpus,"pages":$nPages,""" +
       s""""tile_assign_sec":$tileSec,"join_sec":$joinSec,"total_sec":$total,""" +
       s""""rows_per_sec":${(nPages / total).toLong},"assigned":$nAssigned,"joined":$nJoined,""" +
       s""""poly_join_exact_sec":$exactSec,"poly_join_april_sec":$aprilSec,"poly_pairs":$nExact,""" +
-      s""""hot_tile_sweep_sec":$sweepSec,"hot_tile_hash_sec":$hashSec,"hot_tile_pairs":$nSweep}""")
+      s""""hot_tile_sweep_sec":$sweepSec,"hot_tile_hash_sec":$hashSec,"hot_tile_pairs":$nSweep,""" +
+      s""""hot_coarse_sweep_sec":$cSweepSec,"hot_coarse_hash_sec":$cHashSec,"hot_coarse_pairs":$nCSweep}""")
     spark.stop()
   }
 }

@@ -860,12 +860,19 @@ object SparkEntry {
    * loudly (row-count/file-not-found), never silently. Regenerate with:
    * Verify at sf0.01 → copy each part file to
    * src/test/resources/expected_sf0.01/<q>.parquet.
+   *
+   * q_ann_topk IS pinned: brute-force cosine top-k is fully deterministic
+   * (seeded synthetic embeddings; fixed per-pair accumulation order makes
+   * the IEEE sim doubles stable; row_number tie-breaks on vec_id). Only the
+   * LSH/IVF recall-contract queries legitimately stay no_oracle — their
+   * contract is recall, gated by planted-neighbor tests.
    */
   private def pinnedOracles: Map[String, String] = {
     val root = "/root/repo/src/test/resources/expected_sf0.01"
     Seq("q_fingerprint", "q_langid", "q_geotag_tiles", "q_hex_vectorize",
       "q_rasterize", "q_minhash_pairs", "q_simhash_pairs", "q_poly_relations",
-      "q_media_features", "q_embed_dedup", "q_dedup_groups", "q_s2_cells")
+      "q_media_features", "q_embed_dedup", "q_dedup_groups", "q_s2_cells",
+      "q_ann_topk")
       .map(q => q -> s"SELECT * FROM read_parquet('$root/$q.parquet')")
       .toMap
   }

@@ -88,16 +88,16 @@ object SpatialIndex {
 
   private def metaStr(m: GeoEngine.SideMeta): String =
     s"${m.hasWide},${m.hasNarrow},${m.hasNonRect},${m.hasNonBox}," +
-      s"${m.hasRect},${m.hasBox},${m.maxHomeTileCnt}"
+      s"${m.hasRect},${m.hasBox},${m.maxHomeTileCnt},${m.maxCoarseCellCnt}"
 
   private val MetaRe = """"side_meta": "([^"]*)"""".r
 
   private def parseMeta(manifestJson: String): Option[GeoEngine.SideMeta] =
     MetaRe.findFirstMatchIn(manifestJson).flatMap { mm =>
       val p = mm.group(1).split(',')
-      if (p.length != 7) None // stale format → rebuild
+      if (p.length != 8) None // stale format (e.g. pre-coarse-stat) → rebuild
       else scala.util.Try(GeoEngine.SideMeta(p(0).toBoolean, p(1).toBoolean,
         p(2).toBoolean, p(3).toBoolean, p(4).toBoolean, p(5).toBoolean,
-        p(6).toLong)).toOption
+        p(6).toLong, p(7).toLong)).toOption
     }
 }

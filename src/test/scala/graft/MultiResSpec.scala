@@ -240,6 +240,61 @@ class MultiResSpec extends AnyFunSuite {
     assert(pairs(auto) == hash)
   }
 
+  /** Wide boxes (cover > maxFineCover fine tiles) whose min corners pile
+    * into ONE coarse cell but SPREAD across many fine tiles — visible only
+    * to the coarse-cell histogram, invisible to the fine one. */
+  private def wideHotCell(seed: Int, n: Int): org.apache.spark.sql.Dataset[GeoRow] = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val k = i * 29 + seed
+      // min corners in [9.0, 10.2)×[20.0, 20.7) ⊂ one coarse cell
+      // (~3.3°×1.56°), spread over ~12 distinct fine tiles (~0.41°×0.19°)
+      val x0 = 9.0 + (k % 30) * 0.04
+      val y0 = 20.0 + ((k / 30) % 30) * 0.023
+      val x1 = x0 + 8.0 + (k % 5) * 0.1 // ~20 fine tiles wide → coarse level
+      val y1 = y0 + 0.3
+      GeoRow(300000L + i, GeomType.BOX,
+        Array(x0, y0, x1, y0, x1, y1, x0, y1, x0, y0), x0, y0, x1, y1)
+    }.toDS()
+  }
+
+  test("coarse-level sweep ≡ hash path on a wide-object hot coarse cell") {
+    val r = boxes(41, 300).union(wideHotCell(1, 250))
+    val s = boxes(42, 300).union(wideHotCell(7, 250))
+    for (pred <- Seq(Predicates.INTERSECTS, Predicates.MEET)) {
+      val viaSweep = pairs(GeoEngine.spatialJoin(r, s, pred, grid,
+        sweep = Some(true)))
+      val viaHash = pairs(GeoEngine.spatialJoin(r, s, pred, grid,
+        sweep = Some(false)))
+      assert(viaSweep == viaHash, s"pred=$pred sweep=${viaSweep.size} hash=${viaHash.size}")
+      assert(viaSweep.nonEmpty)
+    }
+  }
+
+  test("coarse-cell density statistic auto-selects the sweep for wide pile-ups") {
+    import spark.implicits._
+    val r = boxes(43, 200)
+    val s = wideHotCell(3, 250)
+    // the fine histogram must NOT see the pile-up (spread min corners)...
+    val sm = GeoEngine.sideMeta(s, grid)
+    assert(sm.maxHomeTileCnt <= 64,
+      s"fixture broken: fine histogram sees ${sm.maxHomeTileCnt}")
+    // ...but the coarse histogram must
+    assert(sm.maxCoarseCellCnt >= 200,
+      s"coarse histogram missed the pile-up: ${sm.maxCoarseCellCnt}")
+    val auto = GeoEngine.spatialJoin(r, s, Predicates.INTERSECTS, grid,
+      hotTileThreshold = 100)
+    assert(auto.queryExecution.executedPlan.toString.contains("CoGroup"),
+      "auto plan did not pick the coarse sweep on a wide-object hot cell")
+    // result identical to the forced hash path
+    assert(pairs(auto) ==
+      pairs(GeoEngine.spatialJoin(r, s, Predicates.INTERSECTS, grid,
+        sweep = Some(false))))
+    // under the default threshold the same input stays on the hash path
+    val autoDefault = GeoEngine.spatialJoin(r, s, Predicates.INTERSECTS, grid)
+    assert(!autoDefault.queryExecution.executedPlan.toString.contains("CoGroup"))
+  }
+
   test("size-based chooser picks broadcast for small, shuffle for large estimates") {
     val s = boxes(11, 100)
     assert(GeoEngine.chooseBroadcast(s, thresholdBytes = Long.MaxValue))

