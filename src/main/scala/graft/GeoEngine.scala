@@ -817,16 +817,20 @@ object GeoEngine {
                        saltFactor: Int = 1,
                        maxFineCover: Int = 16,
                        rMeta: Option[SideMeta] = None,
-                       sMeta: Option[SideMeta] = None): DataFrame = {
+                       sMeta: Option[SideMeta] = None,
+                       sweep: Option[Boolean] = None,
+                       hotTileThreshold: Long = 8192L): DataFrame = {
     // APRIL interval lists are NOT shipped through the tile explode/shuffle
     // (they dwarf the ring coords); candidates re-join them by id from
     // compact per-object side tables after candidate generation.
     val rRaw = r.toDF()
     val sRaw = s.toDF()
-    val rm = rMeta.getOrElse(sideStats(rRaw, grid, maxFineCover,
-      withDensity = false))
-    val sm = sMeta.getOrElse(sideStats(sRaw, grid, maxFineCover,
-      withDensity = false))
+    // find-relation always shuffles (never broadcast), so the density
+    // histogram is consulted exactly like spatialJoin's slim path — a hot
+    // tile pays the same O(k²) hash filter here
+    val needDensity = sweep.isEmpty
+    val rm = rMeta.getOrElse(sideStats(rRaw, grid, maxFineCover, needDensity))
+    val sm = sMeta.getOrElse(sideStats(sRaw, grid, maxFineCover, needDensity))
     val anyNonBox = rm.hasNonBox || sm.hasNonBox
     val rAllPoints = rm.hasRect && !rm.hasBox && !rm.hasNonRect
     val sAllPoints = sm.hasRect && !sm.hasBox && !sm.hasNonRect
@@ -841,8 +845,14 @@ object GeoEngine {
       else aprilIndex(df, grid, aprilOrder)
     val rIxDf = ix(rRaw, rAllPoints)
     val sIxDf = ix(sRaw, sAllPoints)
+    // density-driven sweep selection, same rule as spatialJoin's slim path
+    val sweepFine = sweep.getOrElse(
+      math.max(rm.maxHomeTileCnt, sm.maxHomeTileCnt) > hotTileThreshold)
+    val sweepCoarse = sweep.getOrElse((rm.hasWide || sm.hasWide) &&
+      math.max(rm.maxCoarseCellCnt, sm.maxCoarseCellCnt) > hotTileThreshold)
     val cands = mrCandidates(rIxDf, sIxDf, grid, broadcastS = false,
-      saltFactor, maxFineCover, rm, sm, _ => Nil)
+      saltFactor, maxFineCover, rm, sm, _ => Nil,
+      sweepFine = sweepFine, sweepCoarse = sweepCoarse)
     // geometry attach: an all-point side's coords ARE its MBR corner, already
     // on the candidate row — no re-join
     def attachGeom(c: DataFrame, df: DataFrame, p: String, idName: String,

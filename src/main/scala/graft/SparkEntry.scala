@@ -783,6 +783,7 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
         |  CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens_ws,
+        |  CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens_re,
         |  CAST(LENGTH(text) - LENGTH(REPLACE(text, '.', '')) AS BIGINT) AS n_periods,
         |  CAST(LENGTH(text) - LENGTH(REPLACE(text, ',', '')) AS BIGINT) AS n_commas
         |FROM documents""".stripMargin,

@@ -16,13 +16,23 @@ import org.apache.spark.sql.functions._
  */
 object TextOps {
 
-  /** Integer token/char statistics (oracle-checkable: counts only). */
+  /** BPE-style pre-tokenizer pattern (simplified GPT-2 shape): letter runs,
+    * digit runs, single punctuation marks. Restricted to an ASCII character
+    * class so Java (Spark) and RE2-ish (DuckDB oracle) engines agree. */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Integer token/char statistics (oracle-checkable: counts only).
+    * n_tokens_re is the LLM-budget estimator: BPE pre-tokenizer piece count
+    * (letters/digits/punct runs), the standard first-order proxy for
+    * tokenizer output length. */
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
         .cast("long").as("n_tokens_ws"),
+      regexp_count(col("text"), lit(BpeTokenPattern))
+        .cast("long").as("n_tokens_re"),
       (length(col("text")) - length(regexp_replace(col("text"), "\\.", "")))
         .cast("long").as("n_periods"),
       (length(col("text")) - length(regexp_replace(col("text"), ",", "")))

@@ -295,6 +295,28 @@ class MultiResSpec extends AnyFunSuite {
     assert(!autoDefault.queryExecution.executedPlan.toString.contains("CoGroup"))
   }
 
+  test("find-relation join: density statistic selects the sweep, relations identical") {
+    import spark.implicits._
+    // the same hot-fine-tile shape the spatialJoin auto test uses
+    def dense(seed: Int, n: Int) = (0 until n).map { i =>
+      val cx = 10.0 + (i % 7) * 1e-4
+      val cy = 20.0 + ((i * seed) % 5) * 1e-4
+      GeoRow(400000L + i, GeomType.BOX,
+        Array(cx, cy, cx + 0.002, cy, cx + 0.002, cy + 0.002, cx, cy + 0.002, cx, cy),
+        cx, cy, cx + 0.002, cy + 0.002)
+    }.toDS()
+    val r = dense(3, 300)
+    val s = dense(5, 300)
+    def rels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val auto = GeoEngine.findRelationJoin(r, s, grid, hotTileThreshold = 64)
+    assert(auto.queryExecution.executedPlan.toString.contains("CoGroup"),
+      "find-relation auto plan did not pick the sweep on a hot tile")
+    assert(rels(auto) == rels(GeoEngine.findRelationJoin(r, s, grid,
+      sweep = Some(false))))
+    assert(rels(auto).nonEmpty)
+  }
+
   test("size-based chooser picks broadcast for small, shuffle for large estimates") {
     val s = boxes(11, 100)
     assert(GeoEngine.chooseBroadcast(s, thresholdBytes = Long.MaxValue))
