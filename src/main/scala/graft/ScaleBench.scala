@@ -101,27 +101,17 @@ object ScaleBench {
     // -------- polygon join: exact refinement vs APRIL cascade --------------
     // deterministic star polygons; the APRIL index is built & persisted
     // outside the timed window (the reference's buildAPRIL persist mode)
-    val mkPoly = udf { (id: Long, cx: Double, cy: Double, rad: Double) =>
-      val n = 24 + (id % 17).toInt // vertex-heavy: OSM-like feature complexity
-      val cs = new Array[Double](2 * (n + 1))
-      var i = 0
-      while (i < n) {
-        val ang = 2 * math.Pi * i / n
-        val rr = rad * (0.5 + 0.5 * (((id * 31 + i * 17) % 97) / 97.0))
-        cs(2 * i) = cx + rr * math.cos(ang)
-        cs(2 * i + 1) = cy + rr * math.sin(ang)
-        i += 1
-      }
-      cs(2 * n) = cs(0); cs(2 * n + 1) = cs(1)
-      cs
-    }
     // OSM-realistic sizes (small features) packed into a 35°×16° region so
-    // candidate density is meaningful; APRIL interval lists stay compact
+    // candidate density is meaningful; APRIL interval lists stay compact.
+    // Vertex-heavy stars (24-40 vertices, OSM-like feature complexity),
+    // synthesized by the codegen StarPoly kernel — no per-row UDF even in
+    // the input generator.
     def polys(n: Long, rad: Double, salt: Int) = {
       val base = spark.range(n).select(col("id"),
         ((col("id") * (29 + salt) % 3500) / 100.0 - 100.0).as("cx"),
         ((col("id") * (37 + salt) % 1600) / 100.0 - 8.0).as("cy"))
-        .withColumn("coords", mkPoly(col("id"), col("cx"), col("cy"), lit(rad)))
+        .withColumn("coords", graft.functions.GeoExprs.starPoly(
+          col("id"), col("cx"), col("cy"), lit(rad), 24, 17, 0.5, 0.5))
       base.select(col("id"), lit(GeomType.POLYGON).as("gtype"), col("coords"),
         (col("cx") - rad).as("xmin"), (col("cy") - rad).as("ymin"),
         (col("cx") + rad).as("xmax"), (col("cy") + rad).as("ymax")).as[GeoRow]

@@ -504,25 +504,15 @@ object SparkEntry {
     "q_poly_relations" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
-      val mk = udf { (id: Long, cx: Double, cy: Double, rad: Double) =>
-        val n = 8 + (id % 5).toInt
-        val cs = new Array[Double](2 * (n + 1))
-        var i = 0
-        while (i < n) {
-          val ang = 2 * math.Pi * i / n
-          val rr = rad * (0.6 + 0.4 * (((id * 31 + i * 17) % 97) / 97.0))
-          cs(2 * i) = cx + rr * math.cos(ang); cs(2 * i + 1) = cy + rr * math.sin(ang)
-          i += 1
-        }
-        cs(2 * n) = cs(0); cs(2 * n + 1) = cs(1)
-        cs
-      }
+      // codegen star synthesis (GeoKernels.starPoly) — bit-identical rings
+      // to the former UDF (same literals, same op order), no per-row boxing
       def polyTable(table: String, key: String, rad: Double) = {
         val base = s.read.parquet(s"$dir/$table.parquet").select(
           col(key).cast("long").as("id"),
           ((col(key) * 13 % 2800) / 8.0 - 175.0).as("cx"),
           ((col(key) * 17 % 1280) / 8.0 - 80.0).as("cy"))
-          .withColumn("coords", mk(col("id"), col("cx"), col("cy"), lit(rad)))
+          .withColumn("coords", graft.functions.GeoExprs.starPoly(
+            col("id"), col("cx"), col("cy"), lit(rad), 8, 5, 0.6, 0.4))
         base.select(col("id"), lit(GeomType.POLYGON).as("gtype"), col("coords"),
           (col("cx") - rad).as("xmin"), (col("cy") - rad).as("ymin"),
           (col("cx") + rad).as("xmax"), (col("cy") + rad).as("ymax")).as[GeoRow]

@@ -17,6 +17,26 @@ import graft.core._
  * expressions take the raw `ArrayData` and bulk-copy to primitive arrays.
  */
 object GeoKernels {
+  /** Deterministic star-polygon ring synthesis (closed, n = nBase + id%nMod
+    * vertices, per-vertex radius jitter from a 97-cycle LCG-ish mix) — the
+    * fixture generator for the polygon workloads, as a codegen kernel so
+    * synthesizing 10⁵-10⁶ input polygons doesn't pay a per-row ScalaUDF. */
+  def starPoly(id: Long, cx: Double, cy: Double, rad: Double,
+               nBase: Int, nMod: Int, rBase: Double, rSpan: Double): ArrayData = {
+    val n = nBase + (id % nMod).toInt
+    val cs = new Array[Double](2 * (n + 1))
+    var i = 0
+    while (i < n) {
+      val ang = 2 * math.Pi * i / n
+      val rr = rad * (rBase + rSpan * (((id * 31 + i * 17) % 97) / 97.0))
+      cs(2 * i) = cx + rr * math.cos(ang)
+      cs(2 * i + 1) = cy + rr * math.sin(ang)
+      i += 1
+    }
+    cs(2 * n) = cs(0); cs(2 * n + 1) = cs(1)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(cs)
+  }
+
   def refine(pred: Int, rg: Int, rc: ArrayData, sg: Int, sc: ArrayData): Boolean =
     Topology.evalPredicate(pred,
       Geom(rg, rc.toDoubleArray()), Geom(sg, sc.toDoubleArray()))
@@ -311,6 +331,31 @@ case class IvfAssign(vec: Expression, centroids: Array[Array[Float]])
     copy(vec = newChild)
 }
 
+/** Star-polygon fixture synthesis (codegen): closed ring as array<double>. */
+case class StarPoly(id: Expression, cx: Expression, cy: Expression,
+                    rad: Expression, nBase: Int, nMod: Int,
+                    rBase: Double, rSpan: Double)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(LongType, DoubleType, DoubleType, DoubleType)
+  override def first: Expression = id
+  override def second: Expression = cx
+  override def third: Expression = cy
+  override def fourth: Expression = rad
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "star_poly"
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoKernels.starPoly(a.asInstanceOf[Long], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double], nBase, nMod, rBase, rSpan)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.GeoKernels.starPoly($a, $b, $c, $d, " +
+        s"$nBase, $nMod, ${rBase}D, ${rSpan}D)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): StarPoly =
+    copy(id = a, cx = b, cy = c, rad = d)
+}
+
 /** Column-level wrappers. */
 object GeoExprs {
   private def e(c: Column): Expression = GraftColumnBridge.expression(c)
@@ -340,6 +385,11 @@ object GeoExprs {
       xMin, yMin, xExt, yExt, order))
 
   def fnv64(s: Column): Column = GraftColumnBridge.column(Fnv64(e(s)))
+
+  def starPoly(id: Column, cx: Column, cy: Column, rad: Column,
+               nBase: Int, nMod: Int, rBase: Double, rSpan: Double): Column =
+    GraftColumnBridge.column(StarPoly(e(id), e(cx), e(cy), e(rad),
+      nBase, nMod, rBase, rSpan))
 
   def hexCellOf(x: Column, y: Column, res: Int): Column =
     GraftColumnBridge.column(HexCellOf(e(x), e(y), res))
