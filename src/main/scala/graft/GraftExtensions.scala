@@ -57,6 +57,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         AprilVerdict(pred, args(1), args(2), args(3), args(4))
       })
 
+    // text / dedup / similarity kernels on the same SQL surface (all
+    // codegen expressions — a pipeline author can run the whole dedup
+    // candidate flow from spark.sql)
+    def intLit(e: Expression, fn: String, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => sys.error(s"$fn: $what must be an int literal, got $other")
+    }
+    register(ext, "fnv64", "FNV-1a 64 hash of a string", { args =>
+      require(args.length == 1, "fnv64 expects (text)"); Fnv64(args(0))
+    })
+    register(ext, "simhash64", "SimHash64 over whitespace tokens", { args =>
+      require(args.length == 1, "simhash64 expects (text)"); Simhash64(args(0))
+    })
+    register(ext, "lang_id", "stopword-argmax language id", { args =>
+      require(args.length == 1, "lang_id expects (text)"); LangId(args(0))
+    })
+    register(ext, "fingerprint", "rolling-hash fingerprint (min FNV64 over char n-grams)", { args =>
+      require(args.length == 1 || args.length == 2,
+        "fingerprint expects (text[, gram])")
+      Fingerprint(args(0),
+        if (args.length == 2) intLit(args(1), "fingerprint", "gram") else 16)
+    })
+    register(ext, "minhash_sig", "MinHash signature array", { args =>
+      require(args.length == 3, "minhash_sig expects (text, k, gram)")
+      MinhashSig(args(0), intLit(args(1), "minhash_sig", "k"),
+        intLit(args(2), "minhash_sig", "gram"))
+    })
+    register(ext, "band_buckets", "per-band FNV fold of a minhash signature", { args =>
+      require(args.length == 2, "band_buckets expects (sig, bands)")
+      BandBuckets(args(0), intLit(args(1), "band_buckets", "bands"))
+    })
+    register(ext, "shingle_hashes", "sorted distinct FNV64 char-shingle hashes", { args =>
+      require(args.length == 2, "shingle_hashes expects (text, gram)")
+      ShingleHashesExpr(args(0), intLit(args(1), "shingle_hashes", "gram"))
+    })
+    register(ext, "sorted_jaccard", "Jaccard of two sorted hash arrays", { args =>
+      require(args.length == 2, "sorted_jaccard expects (a, b)")
+      SortedJaccard(args(0), args(1))
+    })
+    register(ext, "cosine_sim", "cosine similarity of two float arrays", { args =>
+      require(args.length == 2, "cosine_sim expects (a, b)")
+      CosineSim(args(0), args(1))
+    })
+    register(ext, "lsh_sig", "random-hyperplane LSH signature", { args =>
+      require(args.length == 3, "lsh_sig expects (vec, seed, nBits)")
+      LshSig(args(0), args(1), intLit(args(2), "lsh_sig", "nBits"))
+    })
+    register(ext, "hex_cell", "H3-style hex cell of lon/lat", { args =>
+      require(args.length == 3, "hex_cell expects (x, y, res)")
+      HexCellOf(args(0), args(1), intLit(args(2), "hex_cell", "res"))
+    })
+
     // a bare `JOIN ... ON st_<pred>(...)` would execute as a cartesian
     // product; this rule rewrites it into the multi-resolution tile-exchange
     // plan (see graft.plans.SpatialJoinRewrite; kill switch

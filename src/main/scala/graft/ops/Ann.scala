@@ -154,13 +154,16 @@ object Ann {
     val emb = embeddings.crossJoin(tables)
       .withColumn("bucket", GeoExprs.lshSig(col("embedding"),
         lit(seed) + col("table").cast("long"), nBits))
-    // multiprobe: the query also probes all hamming-1 neighbor buckets
-    val probeUdf = udf { (v: Seq[Float], table: Int) =>
-      val b = lshSignature(v, nBits, seed + table)
-      b +: (0 until nBits).map(i => b ^ (1L << i))
-    }
+    // multiprobe: the query also probes all hamming-1 neighbor buckets —
+    // base signature via the same codegen LshSig, neighbors via column XOR
+    // (no UDF even on the probe side)
+    val probeMasks = lit(0L) +: (0 until nBits).map(i => lit(1L << i))
     val q = queries.toDF("qid", "qvec").crossJoin(tables)
-      .withColumn("bucket", explode(probeUdf(col("qvec"), col("table"))))
+      .withColumn("b0", GeoExprs.lshSig(col("qvec"),
+        lit(seed) + col("table").cast("long"), nBits))
+      .withColumn("bucket",
+        explode(array(probeMasks.map(m => col("b0").bitwiseXOR(m)): _*)))
+      .drop("b0")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     // dedup multi-table candidates on (qid, vec_id) IDS ONLY — never shuffle

@@ -94,6 +94,33 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("text/dedup/similarity SQL functions agree with the Scala kernels") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Seq(("the quick brown fox", 0L)).toDF("t", "z").createOrReplaceTempView("tx")
+    val r = spark.sql(
+      """SELECT fnv64(t) AS h, simhash64(t) AS sh, lang_id(t) AS lang,
+        |  fingerprint(t) AS fp, minhash_sig(t, 8, 3) AS sig,
+        |  sorted_jaccard(shingle_hashes(t, 3), shingle_hashes(t, 3)) AS j,
+        |  band_buckets(minhash_sig(t, 8, 3), 2) AS bb
+        |FROM tx""".stripMargin).head()
+    val t = "the quick brown fox"
+    assert(r.getAs[Long]("h") == graft.ops.TextOps.fnv64(t))
+    assert(r.getAs[Long]("sh") == graft.ops.TextOps.simhash64(t))
+    assert(r.getAs[String]("lang") == graft.ops.TextOps.langId(t))
+    assert(r.getAs[Long]("fp") == graft.ops.TextOps.fingerprint(t))
+    assert(r.getSeq[Long](r.fieldIndex("sig")) == graft.ops.TextOps.minhash(t, 8, 3).toSeq)
+    assert(r.getAs[Double]("j") == 1.0)
+    assert(r.getSeq[Long](r.fieldIndex("bb")).length == 2)
+    // similarity kernels: cosine of a vector with itself = 1
+    Seq((Array(1.0f, 2.0f, 3.0f), 0L)).toDF("v", "z").createOrReplaceTempView("vx")
+    val v = spark.sql(
+      "SELECT cosine_sim(v, v) AS c, lsh_sig(v, 42L, 6) AS s FROM vx").head()
+    assert(math.abs(v.getAs[Double]("c") - 1.0) < 1e-12)
+    assert(v.getAs[Long]("s") ==
+      graft.ops.Ann.lshSignature(Seq(1.0f, 2.0f, 3.0f), 6, 42L))
+  }
+
   test("SQL spatial join rewrites the cartesian into the tile-exchange plan") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
