@@ -611,12 +611,45 @@ object SparkEntry {
         .select(col("id"), col("tile"), col("coarseTile").as("coarse_tile"), col("hexCell").as("hex_cell"))
     }),
     "q_media_features" -> ((s, dir) => {
+      import s.implicits._
       val n = if (dir.contains("0.001")) 500L else 2000L
+      // REAL media payloads, synthesized deterministically per doc: even
+      // doc_ids carry a PCM-16 WAV sine (freq/length from the id), odd ids
+      // a 24-bit BMP gradient — each encoded to actual file bytes and then
+      // DECODED back by the pure-JVM codecs (ops.MediaCodec). kind / width /
+      // height / frames in the output all come from the real decode.
       val pages = Pages.synthesize(s, n).toDF()
         .withColumn("doc_id", graft.functions.GeoExprs.fnv64(col("url")))
-      Multimodal.extractFeatures(s, Multimodal.withMeta(pages, "html", "image"),
-        "html", "image", dims = 16)
-        .select(col("doc_id"), col("kind"), col("frames"))
+      val media = pages.select(col("doc_id")).as[Long].mapPartitions { it =>
+        it.map { id =>
+          val bytes =
+            if ((id & 1L) == 0L) {
+              val sr = 4000
+              val freq = 200.0 + Math.floorMod(id, 800L)
+              val nSamp = sr / 5 + Math.floorMod(id, 400L).toInt
+              val samples = Array.tabulate(nSamp)(i =>
+                (0.5 * math.sin(2 * math.Pi * freq * i / sr)).toFloat)
+              graft.ops.MediaCodec.encodeWavPcm16(sr, 1, samples)
+            } else {
+              val w = 8 + Math.floorMod(id, 16L).toInt
+              val h = 6 + Math.floorMod(id, 12L).toInt
+              val px = Array.tabulate(w * h) { i =>
+                val x = i % w; val y = i / w
+                ((x * 255 / math.max(w - 1, 1)) << 16) |
+                  ((y * 255 / math.max(h - 1, 1)) << 8) |
+                  Math.floorMod(id, 256L).toInt
+              }
+              graft.ops.MediaCodec.encodeBmp24(w, h, px)
+            }
+          (id, bytes)
+        }
+      }.toDF("doc_id", "media")
+      val meta = Multimodal.withMeta(media, "media").toDF()
+      Multimodal.extractFeatures(s, media, "media", dims = 16).toDF()
+        .join(meta.select(col("doc_id"), col("n_bytes"),
+          col("width"), col("height")), Seq("doc_id"))
+        .select(col("doc_id"), col("kind"), col("frames"), col("n_bytes"),
+          col("width"), col("height"))
     })
   )
 

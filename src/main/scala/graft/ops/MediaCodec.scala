@@ -1,0 +1,235 @@
+package graft.ops
+
+/**
+ * Pure-JVM media codecs — zero dependencies, implemented from the public
+ * RIFF/WAVE and BMP file-format specifications. These make the multimodal
+ * pipeline's decode step REAL for the two formats that need no native
+ * codec library: PCM WAV audio and uncompressed 24-bit BMP images.
+ * Formats that require native decoders (JPEG/PNG/MP3/H.264) remain behind
+ * the documented stub — an environment constraint, not a design one; the
+ * dispatch in Multimodal.extractFeatures sniffs magic bytes and routes
+ * each payload to the right decoder.
+ *
+ * Everything is deterministic (no RNG, fixed float op order), so decoded
+ * features are bit-stable across runs and partitionings — the property the
+ * pinned q_media_features oracle relies on.
+ */
+object MediaCodec {
+
+  final case class Wav(sampleRate: Int, channels: Int, samples: Array[Float])
+  /** Pixels packed 0xRRGGBB, row-major, top-down. */
+  final case class Bmp(width: Int, height: Int, rgb: Array[Int])
+
+  // ---------------------------------------------- little-endian byte access
+  @inline private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  @inline private def i32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  @inline private def putU16(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+  }
+  @inline private def putI32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+    b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  /** Content sniff by magic bytes: "wav" | "bmp" | "unknown". */
+  def sniff(b: Array[Byte]): String =
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+      "wav"
+    else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else "unknown"
+
+  // ------------------------------------------------------------------- WAV
+
+  /** Parse a RIFF/WAVE file: walks chunks, requires PCM 16-bit. Returns
+    * None on anything malformed — callers fall back to the stub. */
+  def decodeWav(b: Array[Byte]): Option[Wav] = {
+    if (sniff(b) != "wav") return None
+    var off = 12
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val sz = i32(b, off + 4)
+      if (sz < 0 || off + 8 + sz > b.length) return None
+      id match {
+        case "fmt " =>
+          if (sz < 16) return None
+          val fmt = u16(b, off + 8)
+          channels = u16(b, off + 10)
+          sampleRate = i32(b, off + 12)
+          bits = u16(b, off + 22)
+          if (fmt != 1) return None // PCM only
+        case "data" => dataOff = off + 8; dataLen = sz
+        case _ => // skip unknown chunks (LIST, fact, ...)
+      }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (dataOff < 0 || sampleRate <= 0 || channels <= 0 || bits != 16) return None
+    val n = dataLen / 2
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (u16(b, dataOff + 2 * i).toShort) / 32768.0f
+      i += 1
+    }
+    Some(Wav(sampleRate, channels, out))
+  }
+
+  /** Encode interleaved [-1,1] samples as PCM 16-bit WAV. */
+  def encodeWavPcm16(sampleRate: Int, channels: Int,
+                     samples: Array[Float]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = new Array[Byte](44 + dataLen)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putI32(b, 4, 36 + dataLen)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    putI32(b, 16, 16); putU16(b, 20, 1); putU16(b, 22, channels)
+    putI32(b, 24, sampleRate)
+    putI32(b, 28, sampleRate * channels * 2)
+    putU16(b, 32, channels * 2); putU16(b, 34, 16)
+    b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'
+    putI32(b, 40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      val v = math.max(-1.0f, math.min(1.0f, samples(i)))
+      putU16(b, 44 + 2 * i, math.round(v * 32767.0f) & 0xffff)
+      i += 1
+    }
+    b
+  }
+
+  // ------------------------------------------------------------------- BMP
+
+  /** Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up or
+    * top-down). Returns None on anything else. */
+  def decodeBmp(b: Array[Byte]): Option[Bmp] = {
+    if (sniff(b) != "bmp") return None
+    val dataOff = i32(b, 10)
+    val hdrSize = i32(b, 14)
+    if (hdrSize < 40) return None
+    val width = i32(b, 18)
+    val rawH = i32(b, 22)
+    val planes = u16(b, 26); val bpp = u16(b, 28)
+    val compression = i32(b, 30)
+    if (width <= 0 || rawH == 0 || planes != 1 || bpp != 24 || compression != 0)
+      return None
+    val height = math.abs(rawH)
+    val bottomUp = rawH > 0
+    val rowBytes = (width * 3 + 3) & ~3
+    if (dataOff < 54 || dataOff.toLong + rowBytes.toLong * height > b.length)
+      return None
+    val out = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (bottomUp) height - 1 - y else y
+      val ro = dataOff + srcRow * rowBytes
+      var x = 0
+      while (x < width) {
+        val o = ro + 3 * x
+        out(y * width + x) =
+          ((b(o + 2) & 0xff) << 16) | ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Some(Bmp(width, height, out))
+  }
+
+  /** Encode top-down packed 0xRRGGBB pixels as a bottom-up 24-bit BMP. */
+  def encodeBmp24(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == width * height, "pixel count mismatch")
+    val rowBytes = (width * 3 + 3) & ~3
+    val dataLen = rowBytes * height
+    val b = new Array[Byte](54 + dataLen)
+    b(0) = 'B'; b(1) = 'M'
+    putI32(b, 2, 54 + dataLen); putI32(b, 10, 54)
+    putI32(b, 14, 40); putI32(b, 18, width); putI32(b, 22, height)
+    putU16(b, 26, 1); putU16(b, 28, 24); putI32(b, 30, 0)
+    putI32(b, 34, dataLen); putI32(b, 38, 2835); putI32(b, 42, 2835)
+    var y = 0
+    while (y < height) {
+      val ro = 54 + (height - 1 - y) * rowBytes // bottom-up
+      var x = 0
+      while (x < width) {
+        val p = rgb(y * width + x)
+        val o = ro + 3 * x
+        b(o) = (p & 0xff).toByte
+        b(o + 1) = ((p >> 8) & 0xff).toByte
+        b(o + 2) = ((p >> 16) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  // ------------------------------------------------------------- features
+
+  /** Audio features: [rms, zero-crossing rate, per-segment RMS envelope].
+    * Mono mix first (mean over channels per frame); fixed op order. */
+  def audioFeatures(w: Wav, dims: Int): Array[Float] = {
+    val nFrames = w.samples.length / w.channels
+    val mono = new Array[Float](math.max(nFrames, 1))
+    var f = 0
+    while (f < nFrames) {
+      var c = 0; var acc = 0.0f
+      while (c < w.channels) { acc += w.samples(f * w.channels + c); c += 1 }
+      mono(f) = acc / w.channels
+      f += 1
+    }
+    val out = new Array[Float](dims)
+    var sumSq = 0.0; var crossings = 0
+    var i = 0
+    while (i < nFrames) {
+      sumSq += mono(i).toDouble * mono(i)
+      if (i > 0 && (mono(i) >= 0) != (mono(i - 1) >= 0)) crossings += 1
+      i += 1
+    }
+    out(0) = math.sqrt(sumSq / math.max(nFrames, 1)).toFloat
+    if (dims > 1) out(1) =
+      if (nFrames > 1) crossings.toFloat / (nFrames - 1) else 0.0f
+    // envelope: RMS of dims-2 equal time segments
+    val nSeg = dims - 2
+    var s = 0
+    while (s < nSeg) {
+      val lo = (s.toLong * nFrames / nSeg).toInt
+      val hi = ((s + 1).toLong * nFrames / nSeg).toInt
+      var acc = 0.0; var j = lo
+      while (j < hi) { acc += mono(j).toDouble * mono(j); j += 1 }
+      out(2 + s) = if (hi > lo) math.sqrt(acc / (hi - lo)).toFloat else 0.0f
+      s += 1
+    }
+    out
+  }
+
+  /** Image features: [meanR, meanG, meanB (0-1), gray histogram (dims-3
+    * bins, mass-normalized)]. */
+  def imageFeatures(img: Bmp, dims: Int): Array[Float] = {
+    val out = new Array[Float](dims)
+    val n = img.rgb.length
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    val nBins = dims - 3
+    var i = 0
+    while (i < n) {
+      val p = img.rgb(i)
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      sr += r; sg += g; sb += b
+      if (nBins > 0) {
+        val gray = (r * 299 + g * 587 + b * 114) / 1000
+        out(3 + math.min(gray * nBins / 256, nBins - 1)) += 1.0f
+      }
+      i += 1
+    }
+    out(0) = (sr / (255.0 * math.max(n, 1))).toFloat
+    if (dims > 1) out(1) = (sg / (255.0 * math.max(n, 1))).toFloat
+    if (dims > 2) out(2) = (sb / (255.0 * math.max(n, 1))).toFloat
+    var b2 = 0
+    while (b2 < nBins) { out(3 + b2) /= math.max(n, 1); b2 += 1 }
+    out
+  }
+}

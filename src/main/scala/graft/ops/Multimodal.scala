@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
  * Multimodal column plumbing: image/audio/video as opaque `binary` columns
  * with typed metadata, processed in partition-sized batches.
  *
- * The actual media decode is STUBBED (no image/audio libs in this
- * container): `decodeStub` derives deterministic fake features from the
- * bytes. Everything around it — schema, batching, partitioning, output
- * shape — is the real distributed plumbing a decode UDF would run in, so
- * swapping a real decoder in changes one function.
+ * The decode step is REAL for PCM WAV audio and uncompressed 24-bit BMP
+ * images — pure-JVM parsers written from the public file-format specs
+ * (ops.MediaCodec), no codec libraries needed. Payload kind is sniffed
+ * from magic bytes per row; formats that require native decoders
+ * (JPEG/PNG/MP3/H.264 — not available offline in this container) fall
+ * back to `decodeStub`, a deterministic fake clearly marked as such.
+ * Everything around the decode — schema, batching, partitioning, output
+ * shape — is the same distributed plumbing either way, so adding a codec
+ * is one dispatch arm.
  */
 object Multimodal {
 
@@ -20,8 +24,9 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, kind: String,
                                  feature: Array[Float], frames: Int)
 
-  /** ======== STUB: deterministic fake decode (no media libs offline).
-    * A real implementation would decode bytes → pixels/samples here. */
+  /** ======== STUB: deterministic fake decode for formats whose codecs are
+    * not available offline (JPEG/PNG/...). Real formats never reach this —
+    * see the sniff dispatch in decodeFeatures. */
   def decodeStub(bytes: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
     var h = 0xcbf29ce484222325L
@@ -36,40 +41,94 @@ object Multimodal {
     out
   }
 
-  /** Attach typed metadata to a binary media column (pure column ops). */
-  def withMeta(df: DataFrame, binCol: String, kind: String): DataFrame =
-    df.withColumn("kind", lit(kind))
-      .withColumn("n_bytes", length(col(binCol)).cast("long"))
-      // stub header sniff: fake dims from first bytes, deterministic
-      .withColumn("width", (abs(hash(col(binCol))) % 1920 + 1).cast("int"))
-      .withColumn("height", (abs(hash(col(binCol))) % 1080 + 1).cast("int"))
+  /** Sniffed kind + decoded features + frame count for one payload:
+    *  - wav: [rms, zcr, envelope...], frames = ceil(seconds)
+    *  - bmp: [meanR, meanG, meanB, gray histogram...], frames = 1
+    *  - unknown: stub features, frames from the byte length (legacy shape)
+    */
+  def decodeFeatures(bytes: Array[Byte], dims: Int): (String, Array[Float], Int) =
+    MediaCodec.sniff(bytes) match {
+      case "wav" => MediaCodec.decodeWav(bytes) match {
+        case Some(w) =>
+          val secs = w.samples.length.toDouble / (w.channels * w.sampleRate)
+          ("wav", MediaCodec.audioFeatures(w, dims), math.max(1, math.ceil(secs).toInt))
+        case None => ("unknown", decodeStub(bytes, dims), 1 + (bytes.length % 8))
+      }
+      case "bmp" => MediaCodec.decodeBmp(bytes) match {
+        case Some(img) => ("bmp", MediaCodec.imageFeatures(img, dims), 1)
+        case None => ("unknown", decodeStub(bytes, dims), 1 + (bytes.length % 8))
+      }
+      case _ => ("unknown", decodeStub(bytes, dims), 1 + (bytes.length % 8))
+    }
 
-  /** Batched feature extraction over partitions (the mapInPandas analogue in
-    * Scala: one decode call per row inside mapPartitions, vectorizable). */
+  /** Attach typed metadata to a binary media column. Width/height are REAL
+    * for sniffable formats (BMP pixel dims; WAV sampleRate×channels), 0
+    * otherwise — header parse only, no full decode. */
+  def withMeta(df: DataFrame, binCol: String): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col(binCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          MediaCodec.sniff(bytes) match {
+            case "wav" => MediaCodec.decodeWav(bytes) match {
+              case Some(w) => MediaMeta(id, "wav", bytes.length, w.sampleRate, w.channels)
+              case None => MediaMeta(id, "unknown", bytes.length, 0, 0)
+            }
+            case "bmp" => MediaCodec.decodeBmp(bytes) match {
+              case Some(b) => MediaMeta(id, "bmp", bytes.length, b.width, b.height)
+              case None => MediaMeta(id, "unknown", bytes.length, 0, 0)
+            }
+            case k => MediaMeta(id, k, bytes.length, 0, 0)
+          }
+        }
+      }
+  }
+
+  /** Batched feature extraction over partitions (the mapInPandas analogue
+    * in Scala: one decode call per row inside mapPartitions). Kind is
+    * sniffed per row; real decoders for WAV/BMP, stub otherwise. */
   def extractFeatures(spark: SparkSession, media: DataFrame, binCol: String,
-                      kind: String, dims: Int = 64): Dataset[MediaFeatures] = {
+                      dims: Int = 64): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("doc_id"), col(binCol).as("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          MediaFeatures(id, kind, decodeStub(bytes, dims),
-            frames = 1 + (bytes.length % 8))
+          val (kind, feats, frames) = decodeFeatures(bytes, dims)
+          MediaFeatures(id, kind, feats, frames)
         }
       }
   }
 
-  /** Frame sampling stub for video-like payloads: deterministic frame index
-    * selection, returning (doc_id, frame_idx, frame_feature). */
+  /** Frame sampling for video-like payloads: every `everyN`-th frame gets
+    * its own feature row. For WAV the "frames" are 1-second windows of the
+    * real decoded audio (per-window features via audioFeatures on the
+    * slice); other payloads keep the deterministic stub shape. */
   def sampleFrames(spark: SparkSession, media: DataFrame, binCol: String,
                    everyN: Int = 4, dims: Int = 16): DataFrame = {
     import spark.implicits._
     media.select(col("doc_id"), col(binCol).as("bytes"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val nFrames = 1 + (bytes.length % 32)
-        (0 until nFrames by everyN).map { f =>
-          (id, f, decodeStub(bytes ++ Array(f.toByte), dims))
+        MediaCodec.decodeWav(bytes) match {
+          case Some(w) =>
+            val perWin = w.sampleRate * w.channels
+            val nWin = math.max(1,
+              (w.samples.length + perWin - 1) / math.max(perWin, 1))
+            (0 until nWin by everyN).map { f =>
+              val lo = f * perWin
+              val hi = math.min((f + 1) * perWin, w.samples.length)
+              val slice = java.util.Arrays.copyOfRange(w.samples, lo, hi)
+              (id, f, MediaCodec.audioFeatures(
+                MediaCodec.Wav(w.sampleRate, w.channels, slice), dims))
+            }
+          case None =>
+            val nFrames = 1 + (bytes.length % 32)
+            (0 until nFrames by everyN).map { f =>
+              (id, f, decodeStub(bytes ++ Array(f.toByte), dims))
+            }
         }
       }.toDF("doc_id", "frame_idx", "feature")
   }

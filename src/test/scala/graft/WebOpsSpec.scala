@@ -103,14 +103,56 @@ class WebOpsSpec extends AnyFunSuite {
   test("multimodal: feature extraction plumbing shape + determinism") {
     val pages = Pages.synthesize(spark, 50).toDF()
       .withColumn("doc_id", abs(hash(col("url"))).cast("long"))
-    val meta = Multimodal.withMeta(pages, "html", "image")
+    // text bytes are neither WAV nor BMP → routed to the stub arm
+    val meta = Multimodal.withMeta(pages, "html")
     assert(meta.columns.contains("n_bytes") && meta.columns.contains("width"))
-    val f1 = Multimodal.extractFeatures(spark, meta, "html", "image", 16).collect()
-    val f2 = Multimodal.extractFeatures(spark, meta, "html", "image", 16).collect()
+    assert(meta.collect().forall(_.kind == "unknown"))
+    val f1 = Multimodal.extractFeatures(spark, pages, "html", 16).collect()
+    val f2 = Multimodal.extractFeatures(spark, pages, "html", 16).collect()
     assert(f1.length == 50)
     assert(f1.forall(_.feature.length == 16))
     assert(f1.map(f => (f.doc_id, f.feature.toSeq)).toSet ==
            f2.map(f => (f.doc_id, f.feature.toSeq)).toSet)
+  }
+
+  test("media codecs: WAV/BMP encode→decode round trip + analytic features") {
+    import graft.ops.MediaCodec
+    // WAV: 440 Hz sine, 0.5 s at 8 kHz, amplitude 0.5
+    val sr = 8000; val freq = 440.0; val amp = 0.5f
+    val samples = Array.tabulate(sr / 2)(i =>
+      (amp * math.sin(2 * math.Pi * freq * i / sr)).toFloat)
+    val wavBytes = MediaCodec.encodeWavPcm16(sr, 1, samples)
+    assert(MediaCodec.sniff(wavBytes) == "wav")
+    val w = MediaCodec.decodeWav(wavBytes).get
+    assert(w.sampleRate == sr && w.channels == 1 && w.samples.length == samples.length)
+    // int16 quantization bounds the round-trip error
+    assert(samples.zip(w.samples).forall { case (a, b) => math.abs(a - b) < 2e-4 })
+    val af = MediaCodec.audioFeatures(w, 8)
+    assert(math.abs(af(0) - amp / math.sqrt(2).toFloat) < 1e-3, s"rms=${af(0)}")
+    // sine crosses zero ~2·freq times per second
+    assert(math.abs(af(1) - 2 * freq / sr) < 5e-3, s"zcr=${af(1)}")
+    // stationary sine → near-flat RMS envelope (partial-period edge effects
+    // bound the per-segment deviation at ~1%)
+    assert((2 until 8).forall(i => math.abs(af(i) - af(2)) < 1e-2))
+
+    // BMP: 7×5 (odd width exercises the 4-byte row padding)
+    val px = Array.tabulate(7 * 5) { i =>
+      val x = i % 7; val y = i / 7
+      ((x * 36) << 16) | ((y * 60) << 8) | 17
+    }
+    val bmpBytes = MediaCodec.encodeBmp24(7, 5, px)
+    assert(MediaCodec.sniff(bmpBytes) == "bmp")
+    val img = MediaCodec.decodeBmp(bmpBytes).get
+    assert(img.width == 7 && img.height == 5)
+    assert(img.rgb.toSeq == px.toSeq, "pixel-exact round trip")
+    val imf = MediaCodec.imageFeatures(img, 11)
+    assert(math.abs(imf(2) - 17.0 / 255.0) < 1e-6, "constant blue channel mean")
+    assert(math.abs(imf.drop(3).sum - 1.0f) < 1e-5, "histogram mass = 1")
+
+    // malformed payloads are rejected, not crashed on
+    assert(MediaCodec.decodeWav("not a wav".getBytes).isEmpty)
+    assert(MediaCodec.decodeBmp(wavBytes).isEmpty)
+    assert(MediaCodec.decodeWav(wavBytes.take(30)).isEmpty)
   }
 
   test("pages: fnv64 ids are unique (no 32-bit collisions)") {
