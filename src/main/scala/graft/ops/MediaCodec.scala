@@ -207,6 +207,118 @@ object MediaCodec {
     out
   }
 
+  /** Box-average resize (area interpolation): each destination pixel is
+    * the mean of its covering source box — the standard downsample for
+    * feature pipelines (no aliasing of the nearest-neighbor kind). Exact
+    * for integer shrink factors; general sizes use fractional coverage. */
+  def resize(img: Bmp, dw: Int, dh: Int): Bmp = {
+    require(dw > 0 && dh > 0, "resize target must be positive")
+    val out = new Array[Int](dw * dh)
+    val sx = img.width.toDouble / dw
+    val sy = img.height.toDouble / dh
+    var y = 0
+    while (y < dh) {
+      val y0 = y * sy; val y1 = (y + 1) * sy
+      var x = 0
+      while (x < dw) {
+        val x0 = x * sx; val x1 = (x + 1) * sx
+        var r = 0.0; var g = 0.0; var b = 0.0; var area = 0.0
+        var iy = math.floor(y0).toInt
+        while (iy < math.min(math.ceil(y1), img.height.toDouble)) {
+          val wy = math.min(y1, iy + 1.0) - math.max(y0, iy.toDouble)
+          var ix = math.floor(x0).toInt
+          while (ix < math.min(math.ceil(x1), img.width.toDouble)) {
+            val wx = math.min(x1, ix + 1.0) - math.max(x0, ix.toDouble)
+            val p = img.rgb(iy * img.width + ix)
+            val w = wx * wy
+            r += ((p >> 16) & 0xff) * w; g += ((p >> 8) & 0xff) * w
+            b += (p & 0xff) * w; area += w
+            ix += 1
+          }
+          iy += 1
+        }
+        out(y * dw + x) =
+          (math.round(r / area).toInt << 16) |
+          (math.round(g / area).toInt << 8) | math.round(b / area).toInt
+        x += 1
+      }
+      y += 1
+    }
+    Bmp(dw, dh, out)
+  }
+
+  /** Iterative radix-2 FFT (from the textbook Cooley-Tukey formulation),
+    * in-place over (re, im). n must be a power of two. */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require((n & (n - 1)) == 0, "fft length must be a power of two")
+    // bit-reversal permutation
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val a = blk + k; val b = blk + k + len / 2
+          val xr = re(b) * cr - im(b) * ci
+          val xi = re(b) * ci + im(b) * cr
+          re(b) = re(a) - xr; im(b) = im(a) - xi
+          re(a) += xr; im(a) += xi
+          val ncr = cr * wr - ci * wi; ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Spectral band energies of mono audio: power spectrum over the first
+    * 2^⌈log2 n⌉-padded window, folded into `nBands` equal bands of the
+    * 0..Nyquist range, mass-normalized. Deterministic; band index of a pure
+    * tone f is ⌊f/(sr/2)·nBands⌋ (the analytic check in tests). */
+  def spectralBands(w: Wav, nBands: Int, maxFft: Int = 1 << 14): Array[Float] = {
+    val nFrames = w.samples.length / w.channels
+    var n = 1
+    while (n < nFrames && n < maxFft) n <<= 1
+    val re = new Array[Double](n); val im = new Array[Double](n)
+    var i = 0
+    while (i < math.min(nFrames, n)) {
+      var c = 0; var acc = 0.0
+      while (c < w.channels) { acc += w.samples(i * w.channels + c); c += 1 }
+      re(i) = acc / w.channels
+      i += 1
+    }
+    fft(re, im)
+    val out = new Array[Float](nBands)
+    var total = 0.0
+    // bins 0..n/2 map to 0..Nyquist
+    var k = 1 // skip DC
+    while (k <= n / 2) {
+      val p = re(k) * re(k) + im(k) * im(k)
+      val band = math.min((k.toLong * 2 * nBands / n).toInt, nBands - 1)
+      out(band) += p.toFloat
+      total += p
+      k += 1
+    }
+    if (total > 0) { var b = 0; while (b < nBands) { out(b) = (out(b) / total).toFloat; b += 1 } }
+    out
+  }
+
   /** Image features: [meanR, meanG, meanB (0-1), gray histogram (dims-3
     * bins, mass-normalized)]. */
   def imageFeatures(img: Bmp, dims: Int): Array[Float] = {

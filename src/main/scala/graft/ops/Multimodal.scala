@@ -51,7 +51,11 @@ object Multimodal {
       case "wav" => MediaCodec.decodeWav(bytes) match {
         case Some(w) =>
           val secs = w.samples.length.toDouble / (w.channels * w.sampleRate)
-          ("wav", MediaCodec.audioFeatures(w, dims), math.max(1, math.ceil(secs).toInt))
+          // [rms, zcr] + FFT band energies — the spectral shape is the
+          // similarity-bearing part of the vector
+          val feats = MediaCodec.audioFeatures(w, 2) ++
+            MediaCodec.spectralBands(w, dims - 2)
+          ("wav", feats, math.max(1, math.ceil(secs).toInt))
         case None => ("unknown", decodeStub(bytes, dims), 1 + (bytes.length % 8))
       }
       case "bmp" => MediaCodec.decodeBmp(bytes) match {
@@ -100,6 +104,27 @@ object Multimodal {
           MediaFeatures(id, kind, feats, frames)
         }
       }
+  }
+
+  /** Distributed image resize: BMP payloads are decoded, box-average
+    * resampled to dw×dh, and re-encoded; non-image payloads pass through
+    * untouched (flagged by the `resized` column). The map-side-only shape:
+    * no shuffle, one decode+encode per row inside the partition. */
+  def resizeImages(spark: SparkSession, media: DataFrame, binCol: String,
+                   dw: Int, dh: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col(binCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          MediaCodec.decodeBmp(bytes) match {
+            case Some(img) =>
+              val r = MediaCodec.resize(img, dw, dh)
+              (id, MediaCodec.encodeBmp24(r.width, r.height, r.rgb), true)
+            case None => (id, bytes, false)
+          }
+        }
+      }.toDF("doc_id", binCol, "resized")
   }
 
   /** Frame sampling for video-like payloads: every `everyN`-th frame gets

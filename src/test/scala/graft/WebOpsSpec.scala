@@ -155,6 +155,36 @@ class WebOpsSpec extends AnyFunSuite {
     assert(MediaCodec.decodeWav(wavBytes.take(30)).isEmpty)
   }
 
+  test("media: spectral bands put a pure tone in the analytic band; resize is exact") {
+    import graft.ops.MediaCodec
+    // 440 Hz at 8 kHz, nBands=16 over 0..4 kHz → band ⌊440/4000·16⌋ = 1
+    val sr = 8000
+    val samples = Array.tabulate(sr)(i =>
+      (0.5 * math.sin(2 * math.Pi * 440.0 * i / sr)).toFloat)
+    val bands = MediaCodec.spectralBands(MediaCodec.Wav(sr, 1, samples), 16)
+    assert(bands.length == 16 && math.abs(bands.sum - 1.0f) < 1e-5)
+    assert(bands(1) > 0.9f, s"tone energy not concentrated: ${bands.toSeq}")
+    // integer 2x shrink of a 2x2-blocked image = exact block means
+    val src = Array.tabulate(8 * 6) { i =>
+      val bx = (i % 8) / 2; val by = (i / 8) / 2
+      ((bx * 50) << 16) | ((by * 70) << 8) | 9
+    }
+    val small = MediaCodec.resize(MediaCodec.Bmp(8, 6, src), 4, 3)
+    assert(small.rgb.toSeq == Array.tabulate(4 * 3) { i =>
+      (((i % 4) * 50) << 16) | (((i / 4) * 70) << 8) | 9
+    }.toSeq)
+    // distributed resize: BMP rows shrink, non-BMP rows pass through
+    import spark.implicits._
+    val wav = MediaCodec.encodeWavPcm16(4000, 1, Array.fill(100)(0.1f))
+    val bmp = MediaCodec.encodeBmp24(8, 6, src)
+    val media = Seq((1L, bmp), (2L, wav)).toDF("doc_id", "media")
+    val out = graft.ops.Multimodal.resizeImages(spark, media, "media", 4, 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]](1), r.getBoolean(2))).toMap
+    assert(out(1L)._2 && MediaCodec.decodeBmp(out(1L)._1).get.width == 4)
+    assert(!out(2L)._2 && out(2L)._1.sameElements(wav))
+  }
+
   test("pages: fnv64 ids are unique (no 32-bit collisions)") {
     val t = Pages.tileAssignments(spark, Pages.synthesize(spark, 5000).toDF()).toDF()
     assert(t.select("id").distinct().count() == 5000)
