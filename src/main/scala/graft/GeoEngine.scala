@@ -210,32 +210,37 @@ object GeoEngine {
         count(lit(1)).as("c"), flag(wide).as("w"), flag(!wide).as("na"),
         flag(nonRect).as("nr"), flag(nonBox).as("nb"), flag(rect).as("re"),
         flag(box).as("bx"))
-      // coarse-cell histogram derived from the fine partial: the grids nest
-      // (globalPpd is an exact multiple of coarsePpd — the reference's
-      // 872 = 8·109 layout), so a fine home tile's coarse cell is index
+      // coarse-cell histogram derived from the fine partial WHEN the grids
+      // nest (globalPpd an exact multiple of coarsePpd — the reference's
+      // 872 = 8·109 layout): a fine home tile's coarse cell is index
       // division, and the per-coarse-cell count is a sum over its ≤ fpc²
       // fine tiles. Costs one extra two-stage agg over the ≤ ppd²-row
       // partial — NOT a second pass over the data. This is the density
       // statistic for the COARSE sub-joins: a pile-up of wide objects in
       // one coarse cell takes the O(k²) hash filter unless detected here
       // (the fine histogram cannot see it — wide objects never enter the
-      // fine join).
-      require(grid.globalPpd % grid.coarsePpd == 0,
-        s"nested grids required for the coarse density statistic: " +
-          s"globalPpd=${grid.globalPpd} coarsePpd=${grid.coarsePpd}")
-      val fpc = grid.finePerCoarse
+      // fine join). Non-nested custom grids keep the pre-round-4 behavior:
+      // maxCoarseCellCnt = 0 (coarse auto-sweep never engages; the explicit
+      // sweep flag still works) — a conservative fallback, never an error.
+      val nested = grid.globalPpd % grid.coarsePpd == 0
+      val fpc = math.max(grid.globalPpd / grid.coarsePpd, 1)
       val fi = pmod(col("t"), lit(grid.globalPpd.toLong))
       val fj = floor(col("t") / lit(grid.globalPpd.toLong))
-      val ct = floor(fi / lit(fpc)) + floor(fj / lit(fpc)) * lit(grid.coarsePpd.toLong)
+      val ct =
+        if (nested)
+          floor(fi / lit(fpc)) + floor(fj / lit(fpc)) * lit(grid.coarsePpd.toLong)
+        else lit(0L)
       val byCoarse = grouped.groupBy(ct.as("ct")).agg(
         sum("c").as("cc"), max("c").as("mc"), max("w").as("w"),
         max("na").as("na"), max("nr").as("nr"), max("nb").as("nb"),
         max("re").as("re"), max("bx").as("bx"))
+      val coarseCnt =
+        if (nested) coalesce(max("cc"), lit(0L)) else lit(0L)
       val row = byCoarse.agg(
         coalesce(max("w"), lit(0)), coalesce(max("na"), lit(0)),
         coalesce(max("nr"), lit(0)), coalesce(max("nb"), lit(0)),
         coalesce(max("re"), lit(0)), coalesce(max("bx"), lit(0)),
-        coalesce(max("mc"), lit(0L)), coalesce(max("cc"), lit(0L))).head()
+        coalesce(max("mc"), lit(0L)), coarseCnt).head()
       SideMeta(row.getInt(0) == 1, row.getInt(1) == 1, row.getInt(2) == 1,
         row.getInt(3) == 1, row.getInt(4) == 1, row.getInt(5) == 1,
         row.getLong(6), row.getLong(7))

@@ -620,7 +620,9 @@ object SparkEntry {
       // height / frames in the output all come from the real decode.
       val pages = Pages.synthesize(s, n).toDF()
         .withColumn("doc_id", graft.functions.GeoExprs.fnv64(col("url")))
-      val media = pages.select(col("doc_id")).as[Long].mapPartitions { it =>
+      // ONE pass: synthesize bytes, header-parse the metadata, decode the
+      // features — no double synthesis, no join (map-side only)
+      pages.select(col("doc_id")).as[Long].mapPartitions { it =>
         it.map { id =>
           val bytes =
             if ((id & 1L) == 0L) {
@@ -641,15 +643,11 @@ object SparkEntry {
               }
               graft.ops.MediaCodec.encodeBmp24(w, h, px)
             }
-          (id, bytes)
+          val meta = Multimodal.metaOf(id, bytes)
+          val (kind, _, frames) = Multimodal.decodeFeatures(bytes, 16)
+          (id, kind, frames, meta.n_bytes, meta.width, meta.height)
         }
-      }.toDF("doc_id", "media")
-      val meta = Multimodal.withMeta(media, "media").toDF()
-      Multimodal.extractFeatures(s, media, "media", dims = 16).toDF()
-        .join(meta.select(col("doc_id"), col("n_bytes"),
-          col("width"), col("height")), Seq("doc_id"))
-        .select(col("doc_id"), col("kind"), col("frames"), col("n_bytes"),
-          col("width"), col("height"))
+      }.toDF("doc_id", "kind", "frames", "n_bytes", "width", "height")
     })
   )
 

@@ -44,9 +44,9 @@ object MediaCodec {
 
   // ------------------------------------------------------------------- WAV
 
-  /** Parse a RIFF/WAVE file: walks chunks, requires PCM 16-bit. Returns
-    * None on anything malformed — callers fall back to the stub. */
-  def decodeWav(b: Array[Byte]): Option[Wav] = {
+  /** Shared RIFF/WAVE validation: (sampleRate, channels, dataOff, dataLen)
+    * for a well-formed PCM-16 file, None otherwise. No payload touched. */
+  private def wavInfo(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (sniff(b) != "wav") return None
     var off = 12
     var sampleRate = 0; var channels = 0; var bits = 0
@@ -54,7 +54,9 @@ object MediaCodec {
     while (off + 8 <= b.length) {
       val id = new String(b, off, 4, "US-ASCII")
       val sz = i32(b, off + 4)
-      if (sz < 0 || off + 8 + sz > b.length) return None
+      // long arithmetic: a hostile chunk size near Int.MaxValue must fail
+      // the bounds check, not wrap negative and pass it
+      if (sz < 0 || off.toLong + 8L + sz > b.length) return None
       id match {
         case "fmt " =>
           if (sz < 16) return None
@@ -68,16 +70,28 @@ object MediaCodec {
       }
       off += 8 + sz + (sz & 1) // chunks are word-aligned
     }
-    if (dataOff < 0 || sampleRate <= 0 || channels <= 0 || bits != 16) return None
-    val n = dataLen / 2
-    val out = new Array[Float](n)
-    var i = 0
-    while (i < n) {
-      out(i) = (u16(b, dataOff + 2 * i).toShort) / 32768.0f
-      i += 1
-    }
-    Some(Wav(sampleRate, channels, out))
+    if (dataOff < 0 || sampleRate <= 0 || channels <= 0 || bits != 16) None
+    else Some((sampleRate, channels, dataOff, dataLen))
   }
+
+  /** Header-only metadata: (sampleRate, channels). O(header), no sample
+    * materialization — the metadata-scan path (Multimodal.withMeta). */
+  def wavHeader(b: Array[Byte]): Option[(Int, Int)] =
+    wavInfo(b).map { case (sr, ch, _, _) => (sr, ch) }
+
+  /** Parse a RIFF/WAVE file: walks chunks, requires PCM 16-bit. Returns
+    * None on anything malformed — callers fall back to the stub. */
+  def decodeWav(b: Array[Byte]): Option[Wav] =
+    wavInfo(b).map { case (sampleRate, channels, dataOff, dataLen) =>
+      val n = dataLen / 2
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        out(i) = (u16(b, dataOff + 2 * i).toShort) / 32768.0f
+        i += 1
+      }
+      Wav(sampleRate, channels, out)
+    }
 
   /** Encode interleaved [-1,1] samples as PCM 16-bit WAV. */
   def encodeWavPcm16(sampleRate: Int, channels: Int,
@@ -105,9 +119,9 @@ object MediaCodec {
 
   // ------------------------------------------------------------------- BMP
 
-  /** Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up or
-    * top-down). Returns None on anything else. */
-  def decodeBmp(b: Array[Byte]): Option[Bmp] = {
+  /** Shared BMP validation: (width, height, bottomUp, dataOff, rowBytes)
+    * for a well-formed uncompressed 24-bit file. No pixels touched. */
+  private def bmpInfo(b: Array[Byte]): Option[(Int, Int, Boolean, Int, Int)] = {
     if (sniff(b) != "bmp") return None
     val dataOff = i32(b, 10)
     val hdrSize = i32(b, 14)
@@ -116,18 +130,33 @@ object MediaCodec {
     val rawH = i32(b, 22)
     val planes = u16(b, 26); val bpp = u16(b, 28)
     val compression = i32(b, 30)
-    if (width <= 0 || rawH == 0 || planes != 1 || bpp != 24 || compression != 0)
-      return None
+    if (width <= 0 || rawH == 0 || rawH == Int.MinValue || planes != 1 ||
+      bpp != 24 || compression != 0) return None
     val height = math.abs(rawH)
     val bottomUp = rawH > 0
-    val rowBytes = (width * 3 + 3) & ~3
-    if (dataOff < 54 || dataOff.toLong + rowBytes.toLong * height > b.length)
-      return None
+    // long arithmetic throughout: hostile header dims must fail the bounds
+    // check, not overflow Int and pass it (then blow up in allocation)
+    val rowBytes = (width.toLong * 3 + 3) & ~3L
+    if (dataOff < 54 || rowBytes * height > b.length.toLong - dataOff ||
+      width.toLong * height > Int.MaxValue) return None
+    Some((width, height, bottomUp, dataOff, rowBytes.toInt))
+  }
+
+  /** Header-only metadata: (width, height). O(header), no pixel array. */
+  def bmpHeader(b: Array[Byte]): Option[(Int, Int)] =
+    bmpInfo(b).map { case (w, h, _, _, _) => (w, h) }
+
+  /** Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up or
+    * top-down). Returns None on anything else. */
+  def decodeBmp(b: Array[Byte]): Option[Bmp] = {
+    val info = bmpInfo(b)
+    if (info.isEmpty) return None
+    val (width, height, bottomUp, dataOff, rb) = info.get
     val out = new Array[Int](width * height)
     var y = 0
     while (y < height) {
       val srcRow = if (bottomUp) height - 1 - y else y
-      val ro = dataOff + srcRow * rowBytes
+      val ro = dataOff + srcRow * rb
       var x = 0
       while (x < width) {
         val o = ro + 3 * x

@@ -65,29 +65,32 @@ object Multimodal {
       case _ => ("unknown", decodeStub(bytes, dims), 1 + (bytes.length % 8))
     }
 
+  /** Typed metadata for one payload — header parses ONLY (wavHeader /
+    * bmpHeader validate the same way the decoders do but never
+    * materialize samples/pixels): O(header bytes) per row, the right cost
+    * for a metadata scan over 10¹² rows. */
+  def metaOf(id: Long, bytes: Array[Byte]): MediaMeta =
+    MediaCodec.sniff(bytes) match {
+      case "wav" => MediaCodec.wavHeader(bytes) match {
+        case Some((sr, ch)) => MediaMeta(id, "wav", bytes.length, sr, ch)
+        case None => MediaMeta(id, "unknown", bytes.length, 0, 0)
+      }
+      case "bmp" => MediaCodec.bmpHeader(bytes) match {
+        case Some((w, h)) => MediaMeta(id, "bmp", bytes.length, w, h)
+        case None => MediaMeta(id, "unknown", bytes.length, 0, 0)
+      }
+      case k => MediaMeta(id, k, bytes.length, 0, 0)
+    }
+
   /** Attach typed metadata to a binary media column. Width/height are REAL
     * for sniffable formats (BMP pixel dims; WAV sampleRate×channels), 0
-    * otherwise — header parse only, no full decode. */
+    * otherwise. */
   def withMeta(df: DataFrame, binCol: String): Dataset[MediaMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col(binCol).as("bytes"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          MediaCodec.sniff(bytes) match {
-            case "wav" => MediaCodec.decodeWav(bytes) match {
-              case Some(w) => MediaMeta(id, "wav", bytes.length, w.sampleRate, w.channels)
-              case None => MediaMeta(id, "unknown", bytes.length, 0, 0)
-            }
-            case "bmp" => MediaCodec.decodeBmp(bytes) match {
-              case Some(b) => MediaMeta(id, "bmp", bytes.length, b.width, b.height)
-              case None => MediaMeta(id, "unknown", bytes.length, 0, 0)
-            }
-            case k => MediaMeta(id, k, bytes.length, 0, 0)
-          }
-        }
-      }
+      .mapPartitions(_.map { case (id, bytes) => metaOf(id, bytes) })
   }
 
   /** Batched feature extraction over partitions (the mapInPandas analogue

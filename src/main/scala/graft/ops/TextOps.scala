@@ -279,7 +279,7 @@ object TextOps {
    * (singletons are their own group by definition and are omitted, like the
    * pair output itself).
    */
-  def dupGroups(pairs: DataFrame, maxIter: Int = 20,
+  def dupGroups(pairs: DataFrame, maxIter: Int = 50,
                 localThreshold: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
@@ -304,9 +304,14 @@ object TextOps {
         r
       }
       es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        // degenerate self-pairs are dropped, matching the distributed
+        // path's canonicalization — same output on either side of the
+        // size dispatch
+        if (a != b) {
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
       }
       return parent.keys.toSeq.map(d => (d, find(d))).toDF("doc_id", "group_id")
     }
@@ -369,6 +374,17 @@ object TextOps {
       converged = nextFp == fp
       fp = nextFp
       i += 1
+    }
+    // the label extraction below is only valid at the star fixed point — an
+    // unconverged edge set would silently emit conflicting labels per doc,
+    // which is strictly worse than failing. 2·log₂(n)+C rounds suffice for
+    // any graph (Kiveris et al.), so the default cap of 50 covers inputs
+    // beyond 10¹² nodes; hitting it means something is genuinely wrong.
+    if (!converged) {
+      curCache.unpersist()
+      throw new IllegalStateException(
+        s"dupGroups: large-star/small-star did not reach the star fixed " +
+          s"point in $maxIter rounds — raise maxIter")
     }
     // at the fixed point every component is a star centered at its minimum:
     // leaves are the hi side (one edge each), centers the deduped lo side

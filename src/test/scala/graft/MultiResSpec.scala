@@ -317,6 +317,21 @@ class MultiResSpec extends AnyFunSuite {
     assert(rels(auto).nonEmpty)
   }
 
+  test("non-nested custom grid: density prepass degrades gracefully") {
+    // 850 % 100 ≠ 0 — the coarse statistic can't derive from the fine
+    // partial; the prepass must fall back to maxCoarseCellCnt = 0 (coarse
+    // auto-sweep off), NOT error, and joins must stay correct
+    val g = GridConfig(-180.0, -85.0, 180.0, 85.0, 100, 850)
+    val r = boxes(71, 150)
+    val s = boxes(72, 150)
+    val m = GeoEngine.sideMeta(r, g)
+    assert(m.maxCoarseCellCnt == 0L)
+    assert(m.maxHomeTileCnt > 0L)
+    assert(pairs(GeoEngine.spatialJoin(r, s, Predicates.INTERSECTS, g)) ==
+      pairs(GeoEngine.spatialJoin(r, s, Predicates.INTERSECTS, g,
+        sweep = Some(false))))
+  }
+
   test("size-based chooser picks broadcast for small, shuffle for large estimates") {
     val s = boxes(11, 100)
     assert(GeoEngine.chooseBroadcast(s, thresholdBytes = Long.MaxValue))

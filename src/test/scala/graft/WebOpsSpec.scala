@@ -153,6 +153,21 @@ class WebOpsSpec extends AnyFunSuite {
     assert(MediaCodec.decodeWav("not a wav".getBytes).isEmpty)
     assert(MediaCodec.decodeBmp(wavBytes).isEmpty)
     assert(MediaCodec.decodeWav(wavBytes.take(30)).isEmpty)
+    // hostile sizes near Int.MaxValue must fail the bounds checks, not
+    // overflow them (and then crash in allocation)
+    val evilWav = wavBytes.clone()
+    evilWav(40) = 0xf4.toByte; evilWav(41) = 0xff.toByte
+    evilWav(42) = 0xff.toByte; evilWav(43) = 0x7f.toByte // data size ≈ 2^31
+    assert(MediaCodec.decodeWav(evilWav).isEmpty)
+    val evilBmp = bmpBytes.clone()
+    evilBmp(18) = 0x00.toByte; evilBmp(19) = 0x00.toByte
+    evilBmp(20) = 0xff.toByte; evilBmp(21) = 0x7f.toByte // width ≈ 2^31
+    assert(MediaCodec.decodeBmp(evilBmp).isEmpty)
+    // header-only parses agree with the full decoders
+    assert(MediaCodec.wavHeader(wavBytes).contains((sr, 1)))
+    assert(MediaCodec.bmpHeader(bmpBytes).contains((7, 5)))
+    assert(MediaCodec.wavHeader(evilWav).isEmpty)
+    assert(MediaCodec.bmpHeader(evilBmp).isEmpty)
   }
 
   test("media: spectral bands put a pure tone in the analytic band; resize is exact") {
