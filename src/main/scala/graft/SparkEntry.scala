@@ -449,6 +449,11 @@ object SparkEntry {
     // --- dedup ---
     "q_dedup_exact" -> ((s, dir) =>
       TextOps.exactDedup(s.read.parquet(s"$dir/documents.parquet"))),
+    // in-flight dedup's batch semantics (the streaming side is gated by the
+    // stream==batch test in StreamingSpec): keeper ROW per distinct hash
+    "q_stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamOps.dedupDocs(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))),
     "q_minhash_pairs" -> ((s, dir) =>
       TextOps.minhashDedupPairs(s.read.parquet(s"$dir/documents.parquet"), tau = 0.5)
         .select(col("a"), col("b"))),
@@ -800,6 +805,9 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT doc_id, text, md5(text) AS h FROM documents
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1""".stripMargin,
     "q_token_stats" ->
       """SELECT doc_id,
         |  CAST(LENGTH(text) AS BIGINT) AS n_chars,

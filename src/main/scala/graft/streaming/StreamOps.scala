@@ -182,4 +182,30 @@ object StreamOps {
       .select(col("window.start").as("win_start"), col("coarse_tile"),
         col("n"), col("total_value"))
   }
+
+  /**
+   * In-flight exact dedup of a document stream by content hash — the
+   * standard crawl-ingest guard: a page seen again within the revisit
+   * horizon is dropped before it ever reaches storage. Streaming mode uses
+   * `dropDuplicatesWithinWatermark`, so the seen-hash state is BOUNDED: a
+   * hash's dedup state expires `delay` after its event time passes the
+   * watermark (unbounded dropDuplicates state is what dies first on an
+   * endless crawl). Emits the first-arriving row per hash.
+   *
+   * Batch mode keeps the same distinct-by-hash semantics with the
+   * deterministic canonical keeper (min doc_id) — the oracle-checkable
+   * shape, matching TextOps.exactDedup's contract.
+   */
+  def dedupDocs(docs: DataFrame, tsCol: String = "ts",
+                delay: String = "1 hour"): DataFrame = {
+    val withH = docs.withColumn("h", md5(col("text").cast("binary")))
+    if (withH.isStreaming)
+      withH.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark("h")
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy(col("doc_id"))
+      withH.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+    }
+  }
 }

@@ -157,4 +157,33 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.size} vs batch ${batch.size} closed sessions")
     assert(streamed.nonEmpty)
   }
+
+  test("streaming dedup: distinct hashes == batch; duplicates dropped in-flight") {
+    import spark.implicits._
+    // 120 docs, every third a duplicate of doc 0 — planted cross-batch dupes
+    val docs = (0L until 120L).map { i =>
+      val text = if (i % 3 == 0) "duplicated boilerplate page" else s"unique page $i"
+      (i, text, java.sql.Timestamp.valueOf(s"2026-01-01 00:${10 + (i / 60)}:${i % 60}"))
+    }
+    val batchDf = docs.toDF("doc_id", "text", "ts")
+    val batchOut = StreamOps.dedupDocs(batchDf)
+    // batch keeper is the canonical min doc_id
+    assert(batchOut.count() == 80 + 1)
+    assert(batchOut.where(col("text") === "duplicated boilerplate page")
+      .head().getLong(0) == 0L)
+    val batchHashes = batchOut.select("h").collect().map(_.getString(0)).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    batchDf.coalesce(1).write.parquet(dir.resolve("in").toString)
+    val streamOut = StreamOps.dedupDocs(
+      spark.readStream.schema(batchDf.schema).parquet(dir.resolve("in").toString))
+    val q = streamOut.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_docs")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_docs")
+    assert(streamed.select("h").collect().map(_.getString(0)).toSet == batchHashes,
+      "stream must emit exactly one row per distinct content hash")
+    assert(streamed.count() == 81)
+  }
 }
