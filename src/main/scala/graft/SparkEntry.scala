@@ -560,16 +560,13 @@ object SparkEntry {
     }),
 
     // --- raster <-> vector materialization ---
-    "q_hex_vectorize" -> ((s, dir) => {
+    "q_hex_vectorize" -> ((s, dir) =>
       // raster->vector: distinct hex cells of the doc points, materialized
-      // as polygon WKT (deterministic)
-      val cellWkt = udf { (cell: Long) =>
-        Wkt.write(HexGrid.cellPolygon(cell))
-      }
+      // as polygon WKT (deterministic, codegen expression)
       GeoEngine.tileAssignments(docPoints(s, dir), grid, hexRes = 5)
         .select(col("hexCell")).distinct()
-        .select(col("hexCell").as("hex_cell"), cellWkt(col("hexCell")).as("wkt"))
-    }),
+        .select(col("hexCell").as("hex_cell"),
+          graft.functions.GeoExprs.hexCellWkt(col("hexCell")).as("wkt"))),
     // S2-style fallback cell index (north star: "H3 (and S2 fallback)"):
     // the codegen HilbertCell expression IS the distributed form of
     // HexGrid.s2LikeCell (parity-tested)

@@ -331,6 +331,23 @@ case class IvfAssign(vec: Expression, centroids: Array[Array[Float]])
     copy(vec = newChild)
 }
 
+/** Hex cell → boundary polygon WKT (raster→vector materialization, codegen). */
+case class HexCellWkt(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "hex_cell_wkt"
+  override def nullSafeEval(c: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      Wkt.write(HexGrid.cellPolygon(c.asInstanceOf[Long])))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.core.Wkt.write(graft.core.HexGrid.cellPolygon($c)))")
+  override protected def withNewChildInternal(newChild: Expression): HexCellWkt =
+    copy(child = newChild)
+}
+
 /** Star-polygon fixture synthesis (codegen): closed ring as array<double>. */
 case class StarPoly(id: Expression, cx: Expression, cy: Expression,
                     rad: Expression, nBase: Int, nMod: Int,
@@ -393,6 +410,9 @@ object GeoExprs {
 
   def hexCellOf(x: Column, y: Column, res: Int): Column =
     GraftColumnBridge.column(HexCellOf(e(x), e(y), res))
+
+  def hexCellWkt(cell: Column): Column =
+    GraftColumnBridge.column(HexCellWkt(e(cell)))
 
   def lshSig(vec: Column, seed: Column, nBits: Int): Column =
     GraftColumnBridge.column(LshSig(e(vec), e(seed), nBits))
