@@ -224,13 +224,46 @@ object ScaleBench {
     }
     require(nCSweep == nCHash, s"coarse sweep changed results: $nCSweep vs $nCHash")
 
+    // -------- dedup groups at volume: distributed LS/SS vs driver UF ------
+    // pair graph shaped like real near-dup output: star components of ~16
+    // docs (what the capped-bucket LSH construction emits) — converges in
+    // ~3 LS/SS rounds. Long-chain round complexity is gated separately by
+    // the unit test; here the question is whether the distributed path
+    // handles VOLUME. The driver union-find is timed on the same pairs for
+    // reference: at driver-scale it wins on fixed per-round shuffle
+    // overhead — the distributed path exists for pair sets that do NOT fit
+    // on one machine, which is why dupGroups size-dispatches between them.
+    val nDedupPairs = math.max(nPages / 4, 100000L)
+    // Column `/` is double division even on longs — floor+cast for id math
+    val compId = floor(col("id") / 15).cast("long") * 16
+    val dedupPairs = spark.range(nDedupPairs).select(
+      compId.as("a"),
+      (compId + pmod(col("id"), lit(15L)) + 1).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dedupPairs.count()
+    val t12 = System.nanoTime()
+    val d = graft.ops.TextOps.dupGroups(dedupPairs, localThreshold = 0L)
+    val nGroupsDist = d.select(col("group_id")).distinct().count()
+    d.unpersist()
+    val t13 = System.nanoTime()
+    val nGroupsLocal = graft.ops.TextOps.dupGroups(dedupPairs)
+      .select(col("group_id")).distinct().count()
+    val t14 = System.nanoTime()
+    val distSec = (t13 - t12) / 1e9
+    val localSec = (t14 - t13) / 1e9
+    require(nGroupsDist == nGroupsLocal,
+      s"dedup group counts diverged: $nGroupsDist vs $nGroupsLocal")
+    dedupPairs.unpersist()
+
     val total = tileSec + joinSec
     println(s"""{"metric":"scale_headline","cpus":$cpus,"pages":$nPages,""" +
       s""""tile_assign_sec":$tileSec,"join_sec":$joinSec,"total_sec":$total,""" +
       s""""rows_per_sec":${(nPages / total).toLong},"assigned":$nAssigned,"joined":$nJoined,""" +
       s""""poly_join_exact_sec":$exactSec,"poly_join_april_sec":$aprilSec,"poly_pairs":$nExact,""" +
       s""""hot_tile_sweep_sec":$sweepSec,"hot_tile_hash_sec":$hashSec,"hot_tile_pairs":$nSweep,""" +
-      s""""hot_coarse_sweep_sec":$cSweepSec,"hot_coarse_hash_sec":$cHashSec,"hot_coarse_pairs":$nCSweep}""")
+      s""""hot_coarse_sweep_sec":$cSweepSec,"hot_coarse_hash_sec":$cHashSec,"hot_coarse_pairs":$nCSweep,""" +
+      s""""dedup_pairs":$nDedupPairs,"dedup_groups":$nGroupsDist,""" +
+      s""""dedup_dist_sec":$distSec,"dedup_local_sec":$localSec}""")
     spark.stop()
   }
 }
