@@ -170,6 +170,42 @@ class WebOpsSpec extends AnyFunSuite {
     assert(MediaCodec.bmpHeader(evilBmp).isEmpty)
   }
 
+  test("media codecs: randomized round trips (odd widths, multi-channel)") {
+    import graft.ops.MediaCodec
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 25) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(40)
+      val px = Array.fill(w * h)(rnd.nextInt(1 << 24))
+      val img = MediaCodec.decodeBmp(MediaCodec.encodeBmp24(w, h, px)).get
+      assert(img.width == w && img.height == h && img.rgb.toSeq == px.toSeq)
+      val ch = 1 + rnd.nextInt(2)
+      val n = ch * (1 + rnd.nextInt(500))
+      val ss = Array.fill(n)(rnd.nextFloat() * 2 - 1)
+      val wav = MediaCodec.decodeWav(MediaCodec.encodeWavPcm16(8000, ch, ss)).get
+      assert(wav.channels == ch && wav.samples.length == n)
+      // int16 quantization: |error| ≤ half a step + the 32767/32768 scale gap
+      assert(ss.zip(wav.samples).forall { case (a, b) =>
+        math.abs(a - b) <= 1.0f / 16384 })
+    }
+  }
+
+  test("dupGroups: randomized graphs — distributed == union-find") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 2) {
+      val n = 200
+      val pairs = (1 to 300)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("a", "b")
+      val local = graft.ops.TextOps.dupGroups(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val dist = graft.ops.TextOps.dupGroups(pairs, localThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(dist == local, s"paths diverged: ${dist.size} vs ${local.size}")
+    }
+  }
+
   test("media: spectral bands put a pure tone in the analytic band; resize is exact") {
     import graft.ops.MediaCodec
     // 440 Hz at 8 kHz, nBands=16 over 0..4 kHz → band ⌊440/4000·16⌋ = 1
