@@ -222,6 +222,10 @@ object GeoEngine {
       // fine join). Non-nested custom grids keep the pre-round-4 behavior:
       // maxCoarseCellCnt = 0 (coarse auto-sweep never engages; the explicit
       // sweep flag still works) — a conservative fallback, never an error.
+      // (Non-nested grids also fold out-of-range coarse indices onto other
+      // cells' ids in coarseId — correct, since exact verification follows,
+      // but it inflates coarse-join candidates; the reference layout nests,
+      // and nesting is the supported configuration for performance work.)
       val nested = grid.globalPpd % grid.coarsePpd == 0
       val fpc = math.max(grid.globalPpd / grid.coarsePpd, 1)
       val fi = pmod(col("t"), lit(grid.globalPpd.toLong))

@@ -246,8 +246,13 @@ object ScaleBench {
     val nGroupsDist = d.select(col("group_id")).distinct().count()
     d.unpersist()
     val t13 = System.nanoTime()
-    val nGroupsLocal = graft.ops.TextOps.dupGroups(dedupPairs)
-      .select(col("group_id")).distinct().count()
+    // localThreshold = MaxValue FORCES the union-find leg — at this pair
+    // volume the default dispatch would (correctly) pick the distributed
+    // path, and the cross-check would compare it against itself
+    val l = graft.ops.TextOps.dupGroups(dedupPairs,
+      localThreshold = Long.MaxValue)
+    val nGroupsLocal = l.select(col("group_id")).distinct().count()
+    l.unpersist()
     val t14 = System.nanoTime()
     val distSec = (t13 - t12) / 1e9
     val localSec = (t14 - t13) / 1e9

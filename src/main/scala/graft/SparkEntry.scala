@@ -449,8 +449,9 @@ object SparkEntry {
     // --- dedup ---
     "q_dedup_exact" -> ((s, dir) =>
       TextOps.exactDedup(s.read.parquet(s"$dir/documents.parquet"))),
-    // in-flight dedup's batch semantics (the streaming side is gated by the
-    // stream==batch test in StreamingSpec): keeper ROW per distinct hash
+    // in-flight dedup's batch semantics: keeper ROW per distinct hash.
+    // (StreamingSpec pins the cross-mode guarantee — the distinct-hash SET;
+    // keeper identity is mode-specific by design, see dedupDocs scaladoc.)
     "q_stream_dedup" -> ((s, dir) =>
       graft.streaming.StreamOps.dedupDocs(
         s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))),
@@ -646,10 +647,28 @@ object SparkEntry {
               graft.ops.MediaCodec.encodeBmp24(w, h, px)
             }
           val meta = Multimodal.metaOf(id, bytes)
-          val (kind, _, frames) = Multimodal.decodeFeatures(bytes, 16)
-          (id, kind, frames, meta.n_bytes, meta.width, meta.height)
+          val (kind, feats, frames) = Multimodal.decodeFeatures(bytes, 16)
+          // feat_argmax pins the decoded CONTENT in the oracle, not just the
+          // headers: dominant FFT band for audio (a function of the sine
+          // frequency), dominant gray-histogram bin for images (a function
+          // of the gradient) — first index wins ties, deterministic floats
+          def argmax(off: Int): Int = {
+            var best = off; var i = off + 1
+            while (i < feats.length) {
+              if (feats(i) > feats(best)) best = i
+              i += 1
+            }
+            best - off
+          }
+          val featArgmax = kind match {
+            case "wav" => argmax(2) // spectral bands start at index 2
+            case "bmp" => argmax(3) // gray histogram starts at index 3
+            case _ => -1
+          }
+          (id, kind, frames, meta.n_bytes, meta.width, meta.height, featArgmax)
         }
-      }.toDF("doc_id", "kind", "frames", "n_bytes", "width", "height")
+      }.toDF("doc_id", "kind", "frames", "n_bytes", "width", "height",
+        "feat_argmax")
     })
   )
 

@@ -171,8 +171,15 @@ object MediaCodec {
 
   /** Encode top-down packed 0xRRGGBB pixels as a bottom-up 24-bit BMP. */
   def encodeBmp24(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
-    require(rgb.length == width * height, "pixel count mismatch")
-    val rowBytes = (width * 3 + 3) & ~3
+    require(width > 0 && height > 0 && rgb.length == width.toLong * height,
+      "pixel count mismatch")
+    // long arithmetic mirrors the decode-side guard: dims whose padded
+    // byte size overflows Int must fail loudly, not wrap into a negative
+    // allocation or a corrupt undersized buffer
+    val rowBytesL = (width.toLong * 3 + 3) & ~3L
+    require(54L + rowBytesL * height <= Int.MaxValue,
+      s"BMP too large to encode: ${width}x$height")
+    val rowBytes = rowBytesL.toInt
     val dataLen = rowBytes * height
     val b = new Array[Byte](54 + dataLen)
     b(0) = 'B'; b(1) = 'M'
@@ -202,6 +209,7 @@ object MediaCodec {
   /** Audio features: [rms, zero-crossing rate, per-segment RMS envelope].
     * Mono mix first (mean over channels per frame); fixed op order. */
   def audioFeatures(w: Wav, dims: Int): Array[Float] = {
+    require(dims >= 2, s"audioFeatures needs dims >= 2 (rms, zcr); got $dims")
     val nFrames = w.samples.length / w.channels
     val mono = new Array[Float](math.max(nFrames, 1))
     var f = 0
@@ -321,6 +329,7 @@ object MediaCodec {
     * 0..Nyquist range, mass-normalized. Deterministic; band index of a pure
     * tone f is ⌊f/(sr/2)·nBands⌋ (the analytic check in tests). */
   def spectralBands(w: Wav, nBands: Int, maxFft: Int = 1 << 14): Array[Float] = {
+    require(nBands >= 1, s"spectralBands needs nBands >= 1; got $nBands")
     val nFrames = w.samples.length / w.channels
     var n = 1
     while (n < nFrames && n < maxFft) n <<= 1
@@ -351,6 +360,7 @@ object MediaCodec {
   /** Image features: [meanR, meanG, meanB (0-1), gray histogram (dims-3
     * bins, mass-normalized)]. */
   def imageFeatures(img: Bmp, dims: Int): Array[Float] = {
+    require(dims >= 3, s"imageFeatures needs dims >= 3 (meanR/G/B); got $dims")
     val out = new Array[Float](dims)
     val n = img.rgb.length
     var sr = 0.0; var sg = 0.0; var sb = 0.0

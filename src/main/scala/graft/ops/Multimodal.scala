@@ -46,11 +46,16 @@ object Multimodal {
     *  - bmp: [meanR, meanG, meanB, gray histogram...], frames = 1
     *  - unknown: stub features, frames from the byte length (legacy shape)
     */
-  def decodeFeatures(bytes: Array[Byte], dims: Int): (String, Array[Float], Int) =
+  def decodeFeatures(bytes: Array[Byte], dims: Int): (String, Array[Float], Int) = {
+    require(dims >= 3, s"decodeFeatures needs dims >= 3 (got $dims): " +
+      "audio = [rms, zcr, >=1 spectral band], image = [meanR/G/B, bins]")
     MediaCodec.sniff(bytes) match {
       case "wav" => MediaCodec.decodeWav(bytes) match {
         case Some(w) =>
-          val secs = w.samples.length.toDouble / (w.channels * w.sampleRate)
+          // long/double arithmetic: a hostile-but-well-formed header can
+          // carry sampleRate/channels whose Int product overflows
+          val secs = w.samples.length.toDouble /
+            (w.channels.toDouble * w.sampleRate)
           // [rms, zcr] + FFT band energies — the spectral shape is the
           // similarity-bearing part of the vector
           val feats = MediaCodec.audioFeatures(w, 2) ++
@@ -64,6 +69,7 @@ object Multimodal {
       }
       case _ => ("unknown", decodeStub(bytes, dims), 1 + (bytes.length % 8))
     }
+  }
 
   /** Typed metadata for one payload — header parses ONLY (wavHeader /
     * bmpHeader validate the same way the decoders do but never
@@ -142,7 +148,12 @@ object Multimodal {
       .flatMap { case (id, bytes) =>
         MediaCodec.decodeWav(bytes) match {
           case Some(w) =>
-            val perWin = w.sampleRate * w.channels
+            // long arithmetic + clamp to the actual sample count: a hostile
+            // header's sampleRate×channels must not overflow Int (the same
+            // hostile-size class the codec bounds checks guard against)
+            val perWin = math.min(
+              w.sampleRate.toLong * w.channels,
+              math.max(w.samples.length.toLong, 1L)).toInt
             val nWin = math.max(1,
               (w.samples.length + perWin - 1) / math.max(perWin, 1))
             (0 until nWin by everyN).map { f =>

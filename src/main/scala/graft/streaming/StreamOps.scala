@@ -190,11 +190,16 @@ object StreamOps {
    * `dropDuplicatesWithinWatermark`, so the seen-hash state is BOUNDED: a
    * hash's dedup state expires `delay` after its event time passes the
    * watermark (unbounded dropDuplicates state is what dies first on an
-   * endless crawl). Emits the first-arriving row per hash.
+   * endless crawl). Emits the first-ARRIVING row per hash.
    *
    * Batch mode keeps the same distinct-by-hash semantics with the
    * deterministic canonical keeper (min doc_id) — the oracle-checkable
-   * shape, matching TextOps.exactDedup's contract.
+   * shape, matching TextOps.exactDedup's contract. The SHARED guarantee
+   * across modes is the distinct-hash SET (one surviving row per content
+   * hash — what the stream==batch test pins); WHICH duplicate survives is
+   * mode-specific by design: arrival order in a stream, min doc_id in
+   * batch. Downstream consumers that need a canonical keeper re-keep by
+   * min doc_id in a batch compaction pass.
    */
   def dedupDocs(docs: DataFrame, tsCol: String = "ts",
                 delay: String = "1 hour"): DataFrame = {
