@@ -333,18 +333,21 @@ class WebOpsSpec extends AnyFunSuite {
 
   test("dupGroups: no leaked cached frames (only the returned one)") {
     import spark.implicits._
-    spark.sharedState.cacheManager.clearCache()
+    // the SparkContext is shared across suites in this JVM — count only
+    // entries NEW since the baseline, not global emptiness
+    def newIds(base: Set[Int]): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- base
+    val base = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
     // local path: everything released
     graft.ops.TextOps.dupGroups(pairs).collect()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "local path must unpersist the pair cache")
+    assert(newIds(base).isEmpty, "local path must unpersist the pair cache")
     // distributed path: at most the returned (documented-cached) frame
     val out = graft.ops.TextOps.dupGroups(pairs, localThreshold = 0L)
-    assert(spark.sparkContext.getPersistentRDDs.size <= 1,
-      s"round intermediates leaked: ${spark.sparkContext.getPersistentRDDs.size} cached RDDs")
+    assert(newIds(base).size <= 1,
+      s"round intermediates leaked: ${newIds(base).size} cached RDDs")
     out.unpersist()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(newIds(base).isEmpty)
   }
 
   test("exact dedup: synthetic corpus with planted duplicates") {
