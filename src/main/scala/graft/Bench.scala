@@ -75,16 +75,24 @@ object Bench {
       }
       (name, minSec, maxSec, err)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    // compact output: the driver captures a bounded tail of stdout and
+    // parses the JSON line from it — ms precision and error-only err map
+    // keep the whole line inside that window (a truncated line records as
+    // unparsed). Spread at 2 decimals is the reproducibility diagnostic.
+    // Locale.ROOT: the f-interpolator is locale-sensitive and a comma
+    // decimal separator would corrupt the JSON
+    def num(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, mn, mx, _) =>
-      s"\"" + k + "\":" + (if (mn > 0) f"${mx / mn}%.2f" else "1.0")
+      s"\"" + k + "\":" + (if (mn > 0) num(mx / mn, 2) else "1.0")
     }.mkString("{", ",", "}")
-    val errs = results.map { case (k, _, _, e) =>
-      s"\"" + k + "\":" + e.map(jstr).getOrElse("null")
+    val errs = results.collect { case (k, _, _, Some(e)) =>
+      s"\"" + k + "\":" + jstr(e)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"spread":$spreads,"err":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","iters":$iters,"queries":$qs,"spread":$spreads,"err":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
