@@ -70,6 +70,62 @@ object SpatialIndex {
       .filter(_ => paramsMatch(root, table, grid, order, maxFineCover))
       .getOrElse(build(compute, grid, order, root, table, maxFineCover))
 
+  // ------------------------------------------------- bucketed variant
+  //
+  // The slim-mode join ships only (tile, id, gtype, mbr) through the tile
+  // exchange and re-joins geometry + APRIL arrays BY ID afterwards — at
+  // scale those arrays are the dominant shuffle bytes of the re-join. A
+  // catalog table bucketed by id makes the index side of that re-join
+  // pre-partitioned: Spark's planner drops the index-side Exchange
+  // entirely (only the slim candidate side shuffles, into the bucket
+  // layout). The tile join itself cannot be bucket-colocated — its keys
+  // come from the multi-res cover explode — which is exactly why the
+  // engine re-joins by id in the first place.
+  //
+  // Storage contract: session-catalog parquet table (warehouse) with
+  // grid/order/SideMeta in TBLPROPERTIES; `ensureBucketed` mirrors
+  // `ensure`'s param-match-or-rebuild resume semantics.
+
+  /** Build the APRIL index and save it BUCKETED BY id; returns the loaded
+    * (catalog-backed) form whose scans carry the bucket spec. */
+  def buildBucketed(df: DataFrame, grid: GridConfig, order: Int,
+                    table: String, nBuckets: Int,
+                    maxFineCover: Int = 16): Loaded = {
+    val spark = df.sparkSession
+    val meta = GeoEngine.sideMeta(df, grid, maxFineCover)
+    GeoEngine.aprilIndex(df, grid, order)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "id").sortBy("id")
+      .saveAsTable(table) // managed (warehouse) table
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'graft.april_order' = '$order', 'graft.grid' = '${gridStr(grid)}', " +
+      s"'graft.max_fine_cover' = '$maxFineCover', " +
+      s"'graft.n_buckets' = '$nBuckets', " +
+      s"'graft.side_meta' = '${metaStr(meta)}')")
+    Loaded(spark.table(table), meta)
+  }
+
+  /** Load the bucketed index if present with MATCHING parameters, else
+    * build + save — `ensure` semantics for the catalog-backed variant. */
+  def ensureBucketed(spark: SparkSession, table: String, grid: GridConfig,
+                     order: Int, nBuckets: Int, maxFineCover: Int = 16)
+                    (compute: => DataFrame): Loaded = {
+    val props: Map[String, String] =
+      if (!spark.catalog.tableExists(table)) Map.empty
+      else spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val ok = props.get("graft.april_order").contains(order.toString) &&
+      props.get("graft.grid").contains(gridStr(grid)) &&
+      props.get("graft.max_fine_cover").contains(maxFineCover.toString) &&
+      props.get("graft.n_buckets").contains(nBuckets.toString)
+    val meta = props.get("graft.side_meta").flatMap(parseMetaStr)
+    (if (ok) meta else None) match {
+      case Some(m) => Loaded(spark.table(table), m)
+      case None => buildBucketed(compute, grid, order, table, nBuckets,
+        maxFineCover)
+    }
+  }
+
   private def gridStr(grid: GridConfig): String =
     s"${grid.xMin},${grid.yMin},${grid.xMax},${grid.yMax}," +
       s"${grid.coarsePpd},${grid.globalPpd}"
@@ -93,11 +149,13 @@ object SpatialIndex {
   private val MetaRe = """"side_meta": "([^"]*)"""".r
 
   private def parseMeta(manifestJson: String): Option[GeoEngine.SideMeta] =
-    MetaRe.findFirstMatchIn(manifestJson).flatMap { mm =>
-      val p = mm.group(1).split(',')
-      if (p.length != 8) None // stale format (e.g. pre-coarse-stat) → rebuild
-      else scala.util.Try(GeoEngine.SideMeta(p(0).toBoolean, p(1).toBoolean,
-        p(2).toBoolean, p(3).toBoolean, p(4).toBoolean, p(5).toBoolean,
-        p(6).toLong, p(7).toLong)).toOption
-    }
+    MetaRe.findFirstMatchIn(manifestJson).flatMap(mm => parseMetaStr(mm.group(1)))
+
+  private def parseMetaStr(s: String): Option[GeoEngine.SideMeta] = {
+    val p = s.split(',')
+    if (p.length != 8) None // stale format (e.g. pre-coarse-stat) → rebuild
+    else scala.util.Try(GeoEngine.SideMeta(p(0).toBoolean, p(1).toBoolean,
+      p(2).toBoolean, p(3).toBoolean, p(4).toBoolean, p(5).toBoolean,
+      p(6).toLong, p(7).toLong)).toOption
+  }
 }

@@ -134,6 +134,68 @@ class SnapshotSpec extends AnyFunSuite {
     assert(storedLists == freshLists)
   }
 
+  test("bucketed index: id re-join drops the index-side exchange, same pairs") {
+    import spark.implicits._
+    val grid = graft.web.Pages.WorldGrid
+    def diamonds(n: Int) = (0 until n).map { i =>
+      val cx = (i * 13 % 2800) / 8.0 - 175.0
+      val cy = (i * 17 % 1280) / 8.0 - 80.0
+      val hw = (i % 40 + 2) / 8.0; val hh = (i % 30 + 2) / 8.0
+      GeoRow(i.toLong, core.GeomType.POLYGON,
+        Array(cx - hw, cy, cx, cy - hh, cx + hw, cy, cx, cy + hh, cx - hw, cy),
+        cx - hw, cy - hh, cx + hw, cy + hh)
+    }.toDS()
+    def points(n: Int) = (0 until n).map { i =>
+      val x = (i * 7 % 2880) / 8.0 - 180.0
+      val y = (i * 11 % 1360) / 8.0 - 85.0
+      GeoRow(i.toLong, core.GeomType.POINT, Array(x, y), x, y, x, y)
+    }.toDS()
+    val table = "graft_test_diamonds_bucketed"
+    var builds = 0
+    def ensure() = graft.store.SpatialIndex.ensureBucketed(
+      spark, table, grid, order = 10, nBuckets = 4) {
+      builds += 1; diamonds(300).toDF()
+    }
+    try {
+      val idx = ensure()
+      assert(builds == 1)
+      ensure(); assert(builds == 1, "matching params must load, not rebuild")
+      // AQE + broadcast off so the physical exchanges are deterministic
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        def join(s: org.apache.spark.sql.DataFrame) =
+          GeoEngine.spatialJoin(points(2000), s.as[GeoRow],
+            core.Predicates.INTERSECTS, grid, useApril = true,
+            aprilOrder = 10, sMeta = Some(idx.meta))
+        val bucketed = join(idx.df)
+        val plain = join(graft.store.SpatialIndex.ensure(spark,
+          freshRoot(), "diamonds_plain", grid, order = 10) {
+          diamonds(300).toDF()
+        }.df)
+        def pairs(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(pairs(bucketed) == pairs(plain))
+        assert(pairs(bucketed).nonEmpty)
+        // the bucketed scan reports its spec, and the plan needs strictly
+        // fewer exchanges (the index side of the id re-join is
+        // pre-partitioned; the slim candidate side still shuffles)
+        val bPlan = bucketed.queryExecution.executedPlan.toString
+        val pPlan = plain.queryExecution.executedPlan.toString
+        assert(bPlan.contains("Bucketed: true"),
+          "bucketed table scan lost its bucket spec")
+        val bEx = "Exchange".r.findAllIn(bPlan).length
+        val pEx = "Exchange".r.findAllIn(pPlan).length
+        assert(bEx < pEx, s"expected fewer exchanges: bucketed=$bEx plain=$pEx")
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("GraftJob pipeline: kill/resume covers all five stages incl. index") {
     val root = freshRoot()
     val out1 = GraftJob.run(spark, root, nPages = 2000L)
