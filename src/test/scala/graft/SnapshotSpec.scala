@@ -191,6 +191,16 @@ class SnapshotSpec extends AnyFunSuite {
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.enabled")
       }
+      // a different APRIL order must NOT serve the stored lists (same
+      // incomparable-cell-space hazard as the path-based ensure) — rebuild.
+      // (Done LAST: the overwrite invalidates earlier readers' file lists,
+      // standard Spark managed-table semantics.)
+      graft.store.SpatialIndex.ensureBucketed(
+        spark, table, grid, order = 12, nBuckets = 4) {
+        builds += 1; diamonds(300).toDF()
+      }
+      assert(builds == 2, "order mismatch must rebuild the bucketed index")
+      ensure(); assert(builds == 3, "params win over what happens to be stored")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $table")
     }
