@@ -54,7 +54,9 @@ object Bench {
     // uses) plus the max/min spread, so a regression is distinguishable
     // from a noisy window: real plan changes move the min; VM noise only
     // widens the spread.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    // clamped to >= 1: zero/negative would skip the loop entirely and emit
+    // Double.MaxValue into the JSON (unparseable downstream)
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt)
     val results = selected.map { case (name, fn) =>
       var minSec = Double.MaxValue
       var maxSec = 0.0

@@ -251,6 +251,8 @@ case class Fnv64(child: Expression) extends UnaryExpression with ExpectsInputTyp
 case class HexCellOf(x: Expression, y: Expression, res: Int)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with ExpectsInputTypes {
+  // pack() gives res a 5-bit field → [0, 31] is the representable range
+  require(res >= 0 && res <= 31, s"hex_cell: res must be in [0, 31] (got $res)")
   override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
   override def left: Expression = x
   override def right: Expression = y
@@ -273,6 +275,7 @@ case class HexCellOf(x: Expression, y: Expression, res: Int)
 case class LshSig(vec: Expression, seed: Expression, nBits: Int)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with ExpectsInputTypes {
+  require(nBits > 0 && nBits <= 64, s"lsh_sig: nBits must be in [1, 64] (got $nBits)")
   override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), LongType)
   override def left: Expression = vec
   override def right: Expression = seed

@@ -19,6 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 case class MinhashSig(child: Expression, k: Int, gram: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  // constructor-time validation: the SQL surface (GraftExtensions) builds
+  // these from user literals — a non-positive k/gram must fail at analysis
+  // with a clear message, not as an ArithmeticException deep in codegen
+  require(k > 0, s"minhash_sig: k must be > 0 (got $k)")
+  require(gram > 0, s"minhash_sig: gram must be > 0 (got $gram)")
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -35,6 +40,7 @@ case class MinhashSig(child: Expression, k: Int, gram: Int)
   * index is the array position (posexplode downstream). */
 case class BandBuckets(child: Expression, bands: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(bands > 0, s"band_buckets: bands must be > 0 (got $bands)")
   override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "band_buckets"
@@ -50,6 +56,7 @@ case class BandBuckets(child: Expression, bands: Int)
 /** Sorted distinct FNV64 char-`gram`-shingle hashes of a document. */
 case class ShingleHashesExpr(child: Expression, gram: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(gram > 0, s"shingle_hashes: gram must be > 0 (got $gram)")
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
@@ -97,6 +104,7 @@ case class Simhash64(child: Expression)
 /** Rolling-hash fingerprint: min FNV64 over char 16-grams. */
 case class Fingerprint(child: Expression, gram: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(gram > 0, s"fingerprint: gram must be > 0 (got $gram)")
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "fingerprint"

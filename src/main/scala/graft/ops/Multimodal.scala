@@ -154,8 +154,11 @@ object Multimodal {
             val perWin = math.min(
               w.sampleRate.toLong * w.channels,
               math.max(w.samples.length.toLong, 1L)).toInt
-            val nWin = math.max(1,
-              (w.samples.length + perWin - 1) / math.max(perWin, 1))
+            // Long for the ceil-divide numerator too: samples.length near
+            // Int.MaxValue plus (perWin - 1) wraps negative in Int and
+            // would silently collapse nWin to 1, dropping windows
+            val nWin = math.max(1L,
+              (w.samples.length.toLong + perWin - 1) / math.max(perWin, 1)).toInt
             (0 until nWin by everyN).map { f =>
               val lo = f * perWin
               val hi = math.min((f + 1) * perWin, w.samples.length)

@@ -259,16 +259,18 @@ object TextOps {
    *
    * Distributed path: large-star / small-star alternation (Kiveris et al.,
    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
-   * algorithm). Each round rewrites the edge set with two rules —
-   * large-star hangs every larger neighbor of u onto min(Γ⁺(u)), small-star
-   * hangs u and its smaller neighbors there — and converges to stars
-   * centered at each component's minimum node in O(log n) rounds on ANY
-   * graph shape (min-label propagation, the previous implementation, was
-   * O(diameter): fine for the star/clique components the star-linked LSH
-   * buckets produce, adversarial on long chains). Every round materializes
-   * (cache + fingerprint agg) so the lineage stays flat; convergence is an
-   * edge-set fixed point detected by (count, bit_xor of per-edge hash) —
-   * xor, not sum, so ANSI overflow checking never fires.
+   * algorithm). Each round applies ONE star rewrite — large-star hangs
+   * every larger neighbor of u onto min(Γ⁺(u)), small-star hangs u and its
+   * smaller neighbors there — alternating, and converges to stars centered
+   * at each component's minimum node in O(log n) rounds on ANY graph shape.
+   * A rewrite costs ONE shuffle: neighborhood min + group marker are window
+   * functions over a single partitionBy(src) exchange (the groupBy + join +
+   * distinct formulation paid three). Every round materializes (cache +
+   * fingerprint agg) so the lineage stays flat; convergence is an edge-set
+   * fixed point detected by (count, bit_xor of per-edge hash) — xor, not
+   * sum, so ANSI overflow checking never fires — and then CONFIRMED with
+   * exact set-equality checks of both rewrites, so a 64-bit fingerprint
+   * collision can never silently bless an unconverged edge set.
    *
    * Cache hygiene: every intermediate (the input pair pipeline, each
    * round's edge set) is unpersisted before return; the RETURNED frame is
@@ -315,29 +317,41 @@ object TextOps {
       }
       return parent.keys.toSeq.map(d => (d, find(d))).toDF("doc_id", "group_id")
     }
-    // edges kept canonical as (hi > lo); adjacency rebuilt per round
+    // edges kept canonical as (hi > lo); adjacency rebuilt per rewrite
     def adj(e: DataFrame): DataFrame =
       e.select(col("hi").as("src"), col("lo").as("dst"))
         .unionByName(e.select(col("lo").as("src"), col("hi").as("dst")))
-    // closed-neighborhood minimum per node
-    def neighborhoodMin(a: DataFrame): DataFrame =
-      a.groupBy("src").agg(least(col("src"), min(col("dst"))).as("m"))
+    // Each star rewrite is ONE shuffle: the closed-neighborhood minimum and
+    // a one-row-per-group marker are both window functions over the same
+    // partitionBy(src) exchange — no groupBy+join (3 shuffles in the
+    // previous formulation) and no per-round distinct. Duplicate (hi, lo)
+    // rows across groups are tolerated instead of deduped: both rewrites
+    // are duplicate-insensitive (min is), each input adjacency row emits at
+    // most one output row so the multiset never grows, and one small-star
+    // pass collapses multiplicity at the fixed point. A hot star center
+    // streams through the window's spillable row buffer rather than
+    // materializing a collect_set array row.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("dst")
+    def annotated(e: DataFrame): DataFrame =
+      adj(e).select(col("src"), col("dst"),
+        least(col("src"), min(col("dst")).over(w)).as("m"),
+        row_number().over(wo).as("rn"))
     // large-star(u): ∀v ∈ Γ(u), v > u → edge (v, min(Γ⁺(u)))
-    def largeStar(e: DataFrame): DataFrame = {
-      val a = adj(e)
-      a.where(col("dst") > col("src")).join(neighborhoodMin(a), Seq("src"))
+    // hi > lo holds by construction: dst > src ≥ m
+    def largeStar(e: DataFrame): DataFrame =
+      annotated(e).where(col("dst") > col("src"))
         .select(col("dst").as("hi"), col("m").as("lo"))
-        .where(col("hi") =!= col("lo")).distinct()
-    }
-    // small-star(u): ∀v ∈ Γ(u) ∪ {u}, v ≤ u, v ≠ m → edge (v, min(Γ⁺(u)))
+    // small-star(u): ∀v ∈ Γ(u) ∪ {u}, v ≤ u, v ≠ m → edge (v, min(Γ⁺(u)));
+    // the rn=1 row stands in for the one-per-group (u, m) emit
     def smallStar(e: DataFrame): DataFrame = {
-      val a = adj(e)
-      val m = neighborhoodMin(a)
-      a.where(col("dst") < col("src")).join(m, Seq("src"))
-        .select(col("dst").as("node"), col("m"))
-        .unionByName(m.select(col("src").as("node"), col("m")))
-        .where(col("node") =!= col("m"))
-        .select(col("node").as("hi"), col("m").as("lo")).distinct()
+      val a = annotated(e)
+      a.where(col("dst") < col("src") && col("dst") =!= col("m"))
+        .select(col("dst").as("hi"), col("m").as("lo"))
+        .unionByName(
+          a.where(col("rn") === 1 && col("src") =!= col("m"))
+            .select(col("src").as("hi"), col("m").as("lo")))
     }
     // fixed-point fingerprint: one flat agg, no collect of the edge set
     def fingerprint(e: DataFrame): (Long, Long) = {
@@ -358,22 +372,43 @@ object TextOps {
     var cur = flat(curCache)
     var fp = fingerprint(cur)
     pc.unpersist()
+    // exact joint-fixed-point confirmation: the 64-bit fingerprint alone
+    // could collide between two DIFFERENT edge sets and silently declare
+    // convergence on an unconverged set — whose label extraction emits
+    // conflicting labels. Once fingerprints say "stable", confirm with
+    // set-exact checks (except() both ways) that BOTH rewrites leave the
+    // edge set unchanged; a false positive is then impossible. Runs once
+    // at the end, not per round.
+    def setEq(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    def exactFixedPoint(e: DataFrame): Boolean = {
+      val eSet = e.distinct()
+      setEq(largeStar(e).distinct(), eSet) && setEq(smallStar(e).distinct(), eSet)
+    }
+    // alternate ONE star rewrite per round (the canonical Kiveris et al.
+    // formulation — converges the same), fingerprint-checking after each:
+    // half the per-round shuffle count of the paired formulation and the
+    // loop can stop mid-pair. Converged = both consecutive rewrites left
+    // the fingerprint unchanged, exactly confirmed above.
     var converged = false
+    var streak = 0
     var i = 0
-    while (!converged && i < maxIter) {
-      val lsCache = largeStar(cur).cache()
-      lsCache.count() // materialize so the previous round can be released
+    val maxRewrites = 2 * maxIter // same total work bound as maxIter LS+SS pairs
+    while (!converged && i < maxRewrites) {
+      val nextCache =
+        (if (i % 2 == 0) largeStar(cur) else smallStar(cur)).cache()
+      val next = flat(nextCache)
+      val nextFp = fingerprint(next) // materializes nextCache
       curCache.unpersist()
-      val ls = flat(lsCache)
-      val ssCache = smallStar(ls).cache()
-      val ss = flat(ssCache)
-      val nextFp = fingerprint(ss) // materializes ssCache
-      lsCache.unpersist()
-      curCache = ssCache
-      cur = ss
-      converged = nextFp == fp
+      curCache = nextCache
+      cur = next
+      streak = if (nextFp == fp) streak + 1 else 0
       fp = nextFp
       i += 1
+      if (streak >= 2) {
+        converged = exactFixedPoint(cur)
+        if (!converged) streak = 0 // fingerprint collision — keep iterating
+      }
     }
     // the label extraction below is only valid at the star fixed point — an
     // unconverged edge set would silently emit conflicting labels per doc,
@@ -384,13 +419,16 @@ object TextOps {
       curCache.unpersist()
       throw new IllegalStateException(
         s"dupGroups: large-star/small-star did not reach the star fixed " +
-          s"point in $maxIter rounds — raise maxIter")
+          s"point in $maxRewrites rewrites — raise maxIter")
     }
     // at the fixed point every component is a star centered at its minimum:
-    // leaves are the hi side (one edge each), centers the deduped lo side
+    // leaves are the hi side, centers the lo side. One distinct over the
+    // union — the edge multiset may legitimately carry duplicate star edges
+    // at the fixed point (the rewrites no longer dedup per round).
     val labels = cur.select(col("hi").as("doc_id"), col("lo").as("group_id"))
       .unionByName(
-        cur.select(col("lo").as("doc_id"), col("lo").as("group_id")).distinct())
+        cur.select(col("lo").as("doc_id"), col("lo").as("group_id")))
+      .distinct()
       .cache()
     labels.count()
     curCache.unpersist()

@@ -29,13 +29,16 @@ object SpatialIndex {
     * form, exactly what a later `load` would see. */
   def build(df: DataFrame, grid: GridConfig, order: Int, root: String,
             table: String, maxFineCover: Int = 16): Loaded = {
-    val meta = GeoEngine.sideMeta(df, grid, maxFineCover)
+    // two actions read the input (sideMeta scan + snapshot write): cache so
+    // an expensive compute closure evaluates once
+    val cached = df.cache()
+    val meta = GeoEngine.sideMeta(cached, grid, maxFineCover)
     val homeCoarse =
       least(greatest(floor((col("xmin") - lit(grid.xMin)) / lit(grid.coarseExtX))
         .cast("long"), lit(0L)), lit(grid.coarsePpd - 1L)) +
       least(greatest(floor((col("ymin") - lit(grid.yMin)) / lit(grid.coarseExtY))
         .cast("long"), lit(0L)), lit(grid.coarsePpd - 1L)) * lit(grid.coarsePpd.toLong)
-    val indexed = GeoEngine.aprilIndex(df, grid, order)
+    val indexed = GeoEngine.aprilIndex(cached, grid, order)
       .withColumn("home_coarse", homeCoarse)
       .repartition(col("home_coarse"))
     Snapshots.commit(indexed, root, table, lineage = Map(
@@ -44,6 +47,7 @@ object SpatialIndex {
       "grid" -> gridStr(grid),
       "max_fine_cover" -> maxFineCover.toString,
       "side_meta" -> metaStr(meta)))
+    cached.unpersist()
     load(df.sparkSession, root, table)
       .getOrElse(sys.error(s"index commit for $table did not become visible"))
   }
@@ -87,16 +91,27 @@ object SpatialIndex {
   // `ensure`'s param-match-or-rebuild resume semantics.
 
   /** Build the APRIL index and save it BUCKETED BY id; returns the loaded
-    * (catalog-backed) form whose scans carry the bucket spec. */
+    * (catalog-backed) form whose scans carry the bucket spec.
+    *
+    * Single-writer contract: the table data and its TBLPROPERTIES are two
+    * catalog operations, not one atomic commit — a reader racing the window
+    * between them sees a property-less table, treats it as absent, and
+    * rebuilds over it. `ensureBucketed` (the intended entry point) handles
+    * that by rebuilding; concurrent WRITERS are not supported (same as the
+    * reference's single-process buildIndex). */
   def buildBucketed(df: DataFrame, grid: GridConfig, order: Int,
                     table: String, nBuckets: Int,
                     maxFineCover: Int = 16): Loaded = {
     val spark = df.sparkSession
-    val meta = GeoEngine.sideMeta(df, grid, maxFineCover)
-    GeoEngine.aprilIndex(df, grid, order)
+    // the input feeds two actions (sideMeta scan + index write): cache so
+    // an expensive compute closure evaluates once, not twice
+    val cached = df.cache()
+    val meta = GeoEngine.sideMeta(cached, grid, maxFineCover)
+    GeoEngine.aprilIndex(cached, grid, order)
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "id").sortBy("id")
       .saveAsTable(table) // managed (warehouse) table
+    cached.unpersist()
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
       s"'graft.april_order' = '$order', 'graft.grid' = '${gridStr(grid)}', " +
       s"'graft.max_fine_cover' = '$maxFineCover', " +
