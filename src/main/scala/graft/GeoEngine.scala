@@ -1153,14 +1153,13 @@ object GeoEngine {
     // Phase 2 (distributed): per query, expand rings from the home tile
     // until ≥k points are covered, derive a safe kth-distance upper bound
     // from the covered box, and emit every tile whose min distance to the
-    // query is within the bound.
-    val kLocal = k
-    val gridLocal = grid
-    val tilesUdf = udf { (qx: Double, qy: Double) =>
-      candidateKnnTiles(qx, qy, kLocal, gridLocal, bcCounts.value)
-    }
+    // query is within the bound. KnnTiles is a codegen expression (the
+    // engine's former last ScalaUDF): the broadcast histogram rides as a
+    // plan reference object, the tile array lands as ArrayData with no
+    // converter boxing.
     val qTiles = queries.select(col("qid"), col("qx"), col("qy"))
-      .withColumn("tile", explode(tilesUdf(col("qx"), col("qy"))))
+      .withColumn("tile", explode(graft.functions.GeoExprs.knnTiles(
+        col("qx"), col("qy"), k, grid, bcCounts)))
 
     // Phase 3: tile equi-join (AQE broadcasts a small query side) → exact
     // distance → bounded heap per query; map-side partial top-k keeps the
@@ -1183,7 +1182,7 @@ object GeoEngine {
   }
 
   /** Tiles that can contain one of the k nearest neighbors of (qx, qy). */
-  private def candidateKnnTiles(qx: Double, qy: Double, k: Int,
+  private[graft] def candidateKnnTiles(qx: Double, qy: Double, k: Int,
       grid: GridConfig, tileCounts: Map[Long, Long]): Seq[Long] = {
     val ppd = grid.globalPpd
     val hi = math.min(math.max(grid.fineX(qx), 0), ppd - 1)

@@ -18,9 +18,11 @@ import graft.web.Pages
  *                   Iceberg/parquet read of a real crawl)
  *   2. geotagged  — deterministic url/text geotag
  *   3. tiles      — Dataset[TileAssignment] on the world grid + hex cells
- *   4. index      — persisted APRIL index over the polygon table
- *                   (SpatialIndex.ensure: rebuild only on param mismatch —
- *                   the reference's buildIndex/persist=true lifecycle,
+ *   4. index      — persisted APRIL index over the polygon table, stored
+ *                   as a catalog table BUCKETED BY id (the join's id
+ *                   re-join reads it with no Exchange; SpatialIndex
+ *                   .ensureBucketed: rebuild only on param mismatch — the
+ *                   reference's buildIndex/persist=true lifecycle,
  *                   API/Hecatoncheir.cpp:509-564)
  *   5. joined     — spatial join page-points × stored polygon index
  *                   (reads the index snapshot + its SideMeta; no
@@ -39,6 +41,14 @@ object GraftJob {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // persistent catalog under the snapshot root: the bucketed index
+      // stage's table (and its TBLPROPERTIES lineage) must survive a JVM
+      // restart for resume to skip the rebuild — an in-memory catalog
+      // would forget the table and rebuild every run
+      .config("spark.sql.warehouse.dir", s"$root/warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$root/metastore_db;create=true")
+      .enableHiveSupport()
     // spark-submit provides the master; local runs fall back to local[N]
     val spark = (if (sys.props.contains("spark.master")) builder
                  else builder.master(s"local[$cpus]")).getOrCreate()
@@ -80,13 +90,18 @@ object GraftJob {
     }
 
     // stage 4: the reference's buildIndex lifecycle — rasterize + metadata
-    // prepass once, commit as a snapshot; a restarted run (same params)
+    // prepass once, commit as a BUCKETED catalog table (bucketBy(id)): the
+    // spatial join's slim-mode id re-join then reads the index side
+    // pre-partitioned, with no Exchange. A restarted run (same params)
     // loads instead of rebuilding, a param change forces a rebuild.
-    // SpatialIndex.ensure IS the stage's resume logic (it validates grid /
-    // order / maxFineCover against the manifest), so no runStage wrapper.
+    // SpatialIndex.ensureBucketed IS the stage's resume logic (it validates
+    // grid / order / maxFineCover / nBuckets against TBLPROPERTIES), so no
+    // runStage wrapper. Cross-restart durability needs a persistent catalog
+    // — main() enables Hive support with the metastore under the snapshot
+    // root for exactly this.
     val aprilOrder = 10
-    val index = graft.store.SpatialIndex.ensure(
-      spark, root, "polygons_idx", grid, aprilOrder) {
+    val index = graft.store.SpatialIndex.ensureBucketed(
+      spark, "polygons_idx_b", grid, aprilOrder, nBuckets = 32) {
       // deterministic diamond polygons (non-rectangular, so the APRIL
       // interval filter genuinely resolves pairs instead of being pruned
       // by the all-box fast plan)
@@ -122,7 +137,8 @@ object GraftJob {
     s"""{"job":"graft-pipeline","pages":${pages.count()},""" +
       s""""tiles":${tiles.count()},"indexed":${index.df.count()},""" +
       s""""joined":${joined.count()},""" +
-      s""""snapshots":"${Seq("pages", "geotagged", "tiles", "polygons_idx", "joined")
+      s""""index_table":"polygons_idx_b",""" +
+      s""""snapshots":"${Seq("pages", "geotagged", "tiles", "joined")
         .map(t => s"$t=snap-${Snapshots.latestId(root, t).getOrElse(0L)}")
         .mkString(",")}"}"""
   }

@@ -255,11 +255,26 @@ object SparkEntry {
     s"/tmp/graft_idx/${new java.io.File(dir).getName}_${f.length}"
   }
 
-  /** The diamond table's persisted APRIL index (order 10): built + committed
-    * once per sf dir; every later query (any JVM) loads the snapshot and its
-    * SideMeta instead of re-rasterizing and re-scanning. */
+  /** Catalog table name for the bucketed diamond index, content-keyed per
+    * sf dir the same way idxRoot is (a regenerated dir gets a fresh
+    * table). */
+  private def idxTable(dir: String): String = {
+    val f = new java.io.File(s"$dir/part.parquet")
+    val tag = new java.io.File(dir).getName.replace('.', '_').replace('-', '_')
+    s"diamonds_o10_b_${tag}_${f.length}"
+  }
+
+  /** The diamond table's persisted APRIL index (order 10), served from the
+    * BUCKETED catalog table: built once per JVM+sf dir; every later query
+    * loads the pre-partitioned table and its SideMeta instead of
+    * re-rasterizing and re-scanning — and the slim-mode id re-join reads
+    * the index side without an Exchange (bucketBy(id) pre-partitions it).
+    * The path-snapshot variant remains the durable cross-JVM form
+    * (q_index_build exercises it); the catalog form is the serving
+    * default. */
   private[graft] def diamondIndex(s: SparkSession, dir: String): graft.store.SpatialIndex.Loaded =
-    graft.store.SpatialIndex.ensure(s, idxRoot(dir), "diamonds_o10", grid, order = 10) {
+    graft.store.SpatialIndex.ensureBucketed(s, idxTable(dir), grid,
+      order = 10, nBuckets = 32) {
       diamonds(s, dir)(s).toDF()
     }
 
@@ -616,26 +631,29 @@ object SparkEntry {
     "q_media_features" -> ((s, dir) => {
       import s.implicits._
       val n = if (dir.contains("0.001")) 500L else 2000L
-      // REAL media payloads, synthesized deterministically per doc: even
-      // doc_ids carry a PCM-16 WAV sine (freq/length from the id), odd ids
-      // a 24-bit BMP gradient — each encoded to actual file bytes and then
-      // DECODED back by the pure-JVM codecs (ops.MediaCodec). kind / width /
-      // height / frames in the output all come from the real decode.
+      // REAL media payloads, synthesized deterministically per doc across
+      // all four decodable formats (doc_id mod 4): PCM-16 WAV sine
+      // (freq/length from the id), 24-bit BMP gradient, PNG gradient
+      // (lossless — decoded pixels are exact), JPEG solid color (lossy —
+      // a solid frame keeps the dominant histogram bin stable through
+      // quantization). Each is encoded to actual file bytes and DECODED
+      // back — WAV/BMP by the pure-JVM codecs, PNG/JPEG by javax.imageio.
+      // kind / width / height / frames all come from the real decode.
       val pages = Pages.synthesize(s, n).toDF()
         .withColumn("doc_id", graft.functions.GeoExprs.fnv64(col("url")))
       // ONE pass: synthesize bytes, header-parse the metadata, decode the
       // features — no double synthesis, no join (map-side only)
       pages.select(col("doc_id")).as[Long].mapPartitions { it =>
         it.map { id =>
-          val bytes =
-            if ((id & 1L) == 0L) {
+          val bytes = Math.floorMod(id, 4L) match {
+            case 0L =>
               val sr = 4000
               val freq = 200.0 + Math.floorMod(id, 800L)
               val nSamp = sr / 5 + Math.floorMod(id, 400L).toInt
               val samples = Array.tabulate(nSamp)(i =>
                 (0.5 * math.sin(2 * math.Pi * freq * i / sr)).toFloat)
               graft.ops.MediaCodec.encodeWavPcm16(sr, 1, samples)
-            } else {
+            case 1L =>
               val w = 8 + Math.floorMod(id, 16L).toInt
               val h = 6 + Math.floorMod(id, 12L).toInt
               val px = Array.tabulate(w * h) { i =>
@@ -645,7 +663,25 @@ object SparkEntry {
                   Math.floorMod(id, 256L).toInt
               }
               graft.ops.MediaCodec.encodeBmp24(w, h, px)
-            }
+            case 2L =>
+              val w = 8 + Math.floorMod(id, 16L).toInt
+              val h = 6 + Math.floorMod(id, 12L).toInt
+              val px = Array.tabulate(w * h) { i =>
+                val x = i % w; val y = i / w
+                ((x * 255 / math.max(w - 1, 1)) << 16) |
+                  ((y * 255 / math.max(h - 1, 1)) << 8) |
+                  Math.floorMod(id, 256L).toInt
+              }
+              graft.ops.MediaCodec.encodeImageIO(w, h, px, "png")
+            case _ =>
+              val w = 8 + Math.floorMod(id, 16L).toInt
+              val h = 6 + Math.floorMod(id, 12L).toInt
+              // solid gray at a histogram-bin center: 13 bins over 0..255 →
+              // bin g*13/256 survives JPEG's ±few-level quantization noise
+              val gray = (Math.floorMod(id, 13L).toInt * 256 + 128) / 13
+              val px = Array.fill(w * h)((gray << 16) | (gray << 8) | gray)
+              graft.ops.MediaCodec.encodeImageIO(w, h, px, "jpeg")
+          }
           val meta = Multimodal.metaOf(id, bytes)
           val (kind, feats, frames) = Multimodal.decodeFeatures(bytes, 16)
           // feat_argmax pins the decoded CONTENT in the oracle, not just the
@@ -662,7 +698,7 @@ object SparkEntry {
           }
           val featArgmax = kind match {
             case "wav" => argmax(2) // spectral bands start at index 2
-            case "bmp" => argmax(3) // gray histogram starts at index 3
+            case "bmp" | "png" | "jpeg" => argmax(3) // gray histogram at 3
             case _ => -1
           }
           (id, kind, frames, meta.n_bytes, meta.width, meta.height, featArgmax)

@@ -334,6 +334,39 @@ case class IvfAssign(vec: Expression, centroids: Array[Array[Float]])
     copy(vec = newChild)
 }
 
+/** kNN candidate tiles of a query point (codegen): ring expansion over the
+  * broadcast per-tile histogram until ≥k points are covered, then every
+  * tile within the derived kth-distance bound. Replaces the engine's last
+  * ScalaUDF — the broadcast handle rides as a plan reference object, so the
+  * histogram still ships once per executor, and the per-row call emits
+  * ArrayData directly (no Seq boxing through CatalystTypeConverters).
+  * Evaluated on the QUERY side only — rows bounded by the query batch, not
+  * the data. */
+case class KnnTiles(x: Expression, y: Expression, k: Int,
+    grid: graft.core.GridConfig,
+    counts: org.apache.spark.broadcast.Broadcast[Map[Long, Long]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  require(k > 0, s"knn_tiles: k must be > 0 (got $k)")
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def left: Expression = x
+  override def right: Expression = y
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "knn_tiles"
+  def evalTiles(qx: Double, qy: Double): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.GeoEngine.candidateKnnTiles(qx, qy, k, grid, counts.value).toArray)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    evalTiles(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("knnTiles", this, classOf[KnnTiles].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.evalTiles($a, $b)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KnnTiles =
+    copy(x = newLeft, y = newRight)
+}
+
 /** Hex cell → boundary polygon WKT (raster→vector materialization, codegen). */
 case class HexCellWkt(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -425,4 +458,8 @@ object GeoExprs {
 
   def ivfAssign(vec: Column, centroids: Array[Array[Float]]): Column =
     GraftColumnBridge.column(IvfAssign(e(vec), centroids))
+
+  def knnTiles(x: Column, y: Column, k: Int, grid: graft.core.GridConfig,
+      counts: org.apache.spark.broadcast.Broadcast[Map[Long, Long]]): Column =
+    GraftColumnBridge.column(KnnTiles(e(x), e(y), k, grid, counts))
 }

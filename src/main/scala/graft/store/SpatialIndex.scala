@@ -103,6 +103,17 @@ object SpatialIndex {
                     table: String, nBuckets: Int,
                     maxFineCover: Int = 16): Loaded = {
     val spark = df.sparkSession
+    // a previous JVM may have left the managed location on disk while THIS
+    // JVM's catalog (in-memory unless Hive-backed) has no such table —
+    // saveAsTable(overwrite) cannot resolve that and fails with
+    // LOCATION_ALREADY_EXISTS, so clear the stale managed location first.
+    // (Simple default-database names only, which is all the engine uses.)
+    if (!spark.catalog.tableExists(table) && !table.contains('.')) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     // the input feeds two actions (sideMeta scan + index write): cache so
     // an expensive compute closure evaluates once, not twice
     val cached = df.cache()

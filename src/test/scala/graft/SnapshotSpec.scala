@@ -211,9 +211,14 @@ class SnapshotSpec extends AnyFunSuite {
     val out1 = GraftJob.run(spark, root, nPages = 2000L)
     assert(out1.contains(""""pages":2000"""))
     assert(out1.contains(""""indexed":2000"""))
-    // every stage committed exactly one snapshot
-    for (t <- Seq("pages", "geotagged", "tiles", "polygons_idx", "joined"))
+    // every path stage committed exactly one snapshot; the index stage is
+    // a bucketed catalog table carrying its lineage in TBLPROPERTIES
+    for (t <- Seq("pages", "geotagged", "tiles", "joined"))
       assert(Snapshots.latestId(root, t).contains(1L), s"stage $t")
+    assert(spark.catalog.tableExists("polygons_idx_b"))
+    val props = spark.sql("SHOW TBLPROPERTIES polygons_idx_b").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.april_order").contains("10"))
     // "kill" after the index stage: drop the join snapshot, restart — the
     // first four stages (index included) must LOAD, only the join recomputes
     def deleteRec(p: java.nio.file.Path): Unit = {
@@ -223,16 +228,29 @@ class SnapshotSpec extends AnyFunSuite {
       java.nio.file.Files.delete(p)
     }
     deleteRec(java.nio.file.Paths.get(root, "joined"))
+    // fingerprint the index table's data files: a resumed run must LOAD
+    // the bucketed table, not silently rebuild it (same output either way,
+    // so the file mtimes are the observable)
+    def tableFiles(): Map[String, Long] = {
+      val loc = spark.sql("DESCRIBE EXTENDED polygons_idx_b").collect()
+        .find(_.getString(0) == "Location").get.getString(1)
+      new java.io.File(new java.net.URI(loc)).listFiles()
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val filesBefore = tableFiles()
     val out2 = GraftJob.run(spark, root, nPages = 2000L)
     assert(out2 == out1,
       s"resumed run must reproduce the pipeline output\n$out1\n$out2")
+    assert(tableFiles() == filesBefore,
+      "bucketed index stage rebuilt on resume despite matching params")
     // resume did NOT bump the upstream snapshot ids (no recomputation)
-    for (t <- Seq("pages", "geotagged", "tiles", "polygons_idx"))
+    for (t <- Seq("pages", "geotagged", "tiles"))
       assert(Snapshots.latestId(root, t).contains(1L), s"stage $t recomputed")
     assert(Snapshots.latestId(root, "joined").contains(1L))
     // the joined stage genuinely read the stored index: its rows match an
     // independent join over the same synthetic inputs
     val joined = Snapshots.load(spark, root, "joined").get
     assert(joined.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS polygons_idx_b")
   }
 }

@@ -115,6 +115,50 @@ class WebOpsSpec extends AnyFunSuite {
            f2.map(f => (f.doc_id, f.feature.toSeq)).toSet)
   }
 
+  test("media codecs: PNG/JPEG decode via javax.imageio (sniff, dims, content)") {
+    import graft.ops.MediaCodec
+    val w = 16; val h = 10
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      ((x * 255 / (w - 1)) << 16) | ((y * 255 / (h - 1)) << 8) | 40
+    }
+    // PNG: lossless — decoded pixels are byte-exact
+    val png = MediaCodec.encodeImageIO(w, h, px, "png")
+    assert(MediaCodec.sniff(png) == "png")
+    assert(MediaCodec.imageIOHeader(png).contains((w, h)))
+    val dp = MediaCodec.decodeImageIO(png).get
+    assert(dp.width == w && dp.height == h && dp.rgb.toSeq == px.toSeq)
+    // JPEG: lossy — a solid frame decodes within a few quantization levels
+    val gray = 140
+    val solid = Array.fill(12 * 8)((gray << 16) | (gray << 8) | gray)
+    val jpg = MediaCodec.encodeImageIO(12, 8, solid, "jpeg")
+    assert(MediaCodec.sniff(jpg) == "jpeg")
+    assert(MediaCodec.imageIOHeader(jpg).contains((12, 8)))
+    val dj = MediaCodec.decodeImageIO(jpg).get
+    assert(dj.rgb.forall { p =>
+      Seq(16, 8, 0).forall(s => math.abs(((p >> s) & 0xff) - gray) <= 4)
+    }, "JPEG decode strayed beyond quantization noise on a solid frame")
+    // the Spark-side dispatch routes both to the REAL decode arm
+    import spark.implicits._
+    val media = Seq((1L, png), (2L, jpg)).toDF("doc_id", "media")
+    val metas = graft.ops.Multimodal.withMeta(media, "media")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(metas(1L).kind == "png" && metas(1L).width == w && metas(1L).height == h)
+    assert(metas(2L).kind == "jpeg" && metas(2L).width == 12)
+    val feats = graft.ops.Multimodal.extractFeatures(spark, media, "media", 16)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).kind == "png" && feats(2L).kind == "jpeg")
+    // PNG decoded content: mean blue channel is exactly 40/255
+    assert(math.abs(feats(1L).feature(2) - 40f / 255f) < 1e-6)
+    // resize keeps each format: PNG stays PNG, JPEG stays JPEG
+    val resized = graft.ops.Multimodal.resizeImages(spark, media, "media", 6, 4)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(MediaCodec.sniff(resized(1L)) == "png" &&
+      MediaCodec.decodeImageIO(resized(1L)).get.width == 6)
+    assert(MediaCodec.sniff(resized(2L)) == "jpeg" &&
+      MediaCodec.decodeImageIO(resized(2L)).get.height == 4)
+  }
+
   test("media codecs: WAV/BMP encode→decode round trip + analytic features") {
     import graft.ops.MediaCodec
     // WAV: 440 Hz sine, 0.5 s at 8 kHz, amplitude 0.5
