@@ -4,11 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val builder = SparkSession.builder()
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // spark-submit provides the master (multi-JVM benches); sbt runMain
+    // falls back to local[N]
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master(s"local[$cpus]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/classload warmup on a tiny synthetic join (no input IO): without it
     // whichever query runs first absorbs several seconds of one-time cost

@@ -217,6 +217,18 @@ object SparkEntry {
       ((col("doc_id") * 37 % 3600) / 10.0 - 180.0).as("x"),
       ((col("doc_id") * 53 % 1700) / 10.0 - 85.0).as("y"))
 
+  /** Skewed point table: four of five docs land inside ONE fine tile
+    * (a ~0.01° blob near (10, 20) — far smaller than the 0.41°×0.21° tile),
+    * the rest spread world-wide. The Common-Crawl shape where one city
+    * dominates the corpus. */
+  private def skewPoints(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id").as("id"),
+      when(col("doc_id") % 5 =!= 0, (col("doc_id") % 97) / 10000.0 + 10.0)
+        .otherwise((col("doc_id") * 37 % 3600) / 10.0 - 180.0).as("x"),
+      when(col("doc_id") % 5 =!= 0, (col("doc_id") % 89) / 10000.0 + 20.0)
+        .otherwise((col("doc_id") * 53 % 1700) / 10.0 - 85.0).as("y"))
+
   // ---- GeoRow constructors ------------------------------------------------
 
   private def pointsGeo(df: DataFrame)(implicit s: SparkSession): Dataset[GeoRow] = {
@@ -307,6 +319,17 @@ object SparkEntry {
       // size-based chooser picks broadcast vs shuffle from Catalyst stats
       GeoEngine.spatialJoinAuto(pointsGeo(orderPoints(s, dir)),
         boxesGeo(partBoxes(s, dir)), Predicates.INTERSECTS, grid)
+    }),
+    // 80% of the points share ONE fine tile (worst-case key skew): the
+    // salted shuffle path fans the hot tile across 8 sub-keys so no single
+    // task owns 80% of the join. Result-identity of salting is
+    // property-tested in sbt; this entry puts it under the driver's
+    // DuckDB oracle gate and in the bench set.
+    "q_skew_join" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      GeoEngine.spatialJoin(pointsGeo(skewPoints(s, dir)),
+        boxesGeo(partBoxes(s, dir)), Predicates.INTERSECTS, grid,
+        saltFactor = 8)
     }),
     "q_inside_join" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -739,6 +762,15 @@ object SparkEntry {
          |SELECT tile, COUNT(*) AS n FROM t GROUP BY tile""".stripMargin,
     "q_pip_join" ->
       s"""WITH pts AS ($orderPointsSql), boxes AS ($partBoxesSql)
+         |SELECT pts.id AS rid, boxes.id AS sid FROM pts, boxes
+         |WHERE x >= bxmin AND x <= bxmax AND y >= bymin AND y <= bymax""".stripMargin,
+    "q_skew_join" ->
+      s"""WITH pts AS (SELECT doc_id AS id,
+         |  CASE WHEN doc_id % 5 <> 0 THEN (doc_id % 97) / 10000.0 + 10.0
+         |       ELSE (doc_id * 37 % 3600) / 10.0 - 180.0 END AS x,
+         |  CASE WHEN doc_id % 5 <> 0 THEN (doc_id % 89) / 10000.0 + 20.0
+         |       ELSE (doc_id * 53 % 1700) / 10.0 - 85.0 END AS y
+         |  FROM documents), boxes AS ($partBoxesSql)
          |SELECT pts.id AS rid, boxes.id AS sid FROM pts, boxes
          |WHERE x >= bxmin AND x <= bxmax AND y >= bymin AND y <= bymax""".stripMargin,
     "q_inside_join" ->

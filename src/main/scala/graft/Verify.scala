@@ -7,12 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val builder = SparkSession.builder()
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // spark-submit provides the master (e.g. local-cluster[4,2,4096] for
+    // multi-JVM serialization coverage); sbt runMain falls back to local[N]
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master(s"local[$cpus]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
