@@ -230,9 +230,10 @@ object ScaleBench {
     // ~3 LS/SS rounds. Long-chain round complexity is gated separately by
     // the unit test; here the question is whether the distributed path
     // handles VOLUME. The driver union-find is timed on the same pairs for
-    // reference: at driver-scale it wins on fixed per-round shuffle
-    // overhead — the distributed path exists for pair sets that do NOT fit
-    // on one machine, which is why dupGroups size-dispatches between them.
+    // reference. Round 5 (one-shuffle window rewrites + data-sized loop
+    // partitions + fused convergence check) brought the distributed leg
+    // from 2.4× the union-find down to PARITY-OR-BETTER at 2M pairs, so
+    // the size dispatch is now purely about driver memory, not speed.
     val nDedupPairs = math.max(nPages / 4, 100000L)
     // Column `/` is double division even on longs — floor+cast for id math
     val compId = floor(col("id") / 15).cast("long") * 16
