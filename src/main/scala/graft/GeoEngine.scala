@@ -526,10 +526,26 @@ object GeoEngine {
    * Persist the result to make the index durable, exactly like the
    * reference's `persist=true` APRIL files.
    */
+  /** Widen a narrow batch input to the session's parallelism. The engine's
+    * heavy per-row kernels (rasterize, polygon synthesis, cover explode)
+    * run as PROJECTIONS, which inherit the scan's partitioning — a compact
+    * parquet input (one file = one partition) would serialize them all on
+    * one core regardless of cluster size (measured: single-task rasterize
+    * over 200k polygons at sf1). Spark cannot know a projection is
+    * expensive; the engine can. No-op on wide (real-scale) or streaming
+    * inputs; on narrow ones the row shuffle it costs is trivial next to
+    * the kernels it parallelizes. */
+  private[graft] def widen(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def aprilIndex(df: DataFrame, grid: GridConfig, order: Int = AprilOrder): DataFrame = {
+    val in = widen(df)
     // native codegen expression: raw ArrayData in, InternalRow of two long
     // arrays out — no per-element UDF boxing on either side
-    df.withColumn("_april", GeoExprs.aprilRasterize(col("gtype"), col("coords"),
+    in.withColumn("_april", GeoExprs.aprilRasterize(col("gtype"), col("coords"),
         grid.xMin, grid.yMin, grid.xExtent, grid.yExtent, order))
       .withColumn("april_all", col("_april.all"))
       .withColumn("april_full", col("_april.full"))
@@ -679,8 +695,10 @@ object GeoEngine {
           GeoExprs.stRefine(pred, col("rg"), col("rc"), col("sg"), col("sc")))
       return out.select(col("rid"), col("sid"))
     }
-    val rIx = ix(r.toDF())
-    val sIx = ix(s.toDF())
+    // widen-before-explode: the cover explode + MBR/tile math run as
+    // projections on the scan partitioning (see widen's scaladoc)
+    val rIx = ix(widen(r.toDF()))
+    val sIx = if (broadcastS) ix(s.toDF()) else ix(widen(s.toDF()))
     // In broadcast mode the build side ships whole (one pass, no shuffle), so
     // payload columns ride along. In shuffle mode only (tile, id, gtype, mbr)
     // go through the exchange; geometry/APRIL columns re-join by id afterwards
@@ -832,8 +850,8 @@ object GeoEngine {
     // APRIL interval lists are NOT shipped through the tile explode/shuffle
     // (they dwarf the ring coords); candidates re-join them by id from
     // compact per-object side tables after candidate generation.
-    val rRaw = r.toDF()
-    val sRaw = s.toDF()
+    val rRaw = widen(r.toDF())
+    val sRaw = widen(s.toDF())
     // find-relation always shuffles (never broadcast), so the density
     // histogram is consulted exactly like spatialJoin's slim path — a hot
     // tile pays the same O(k²) hash filter here

@@ -551,10 +551,14 @@ object SparkEntry {
       // codegen star synthesis (GeoKernels.starPoly) — bit-identical rings
       // to the former UDF (same literals, same op order), no per-row boxing
       def polyTable(table: String, key: String, rad: Double) = {
-        val base = s.read.parquet(s"$dir/$table.parquet").select(
-          col(key).cast("long").as("id"),
-          ((col(key) * 13 % 2800) / 8.0 - 175.0).as("cx"),
-          ((col(key) * 17 % 1280) / 8.0 - 80.0).as("cy"))
+        // widen BEFORE the starPoly projection: a repartition added later
+        // lands above the projection, so the synthesis would still run on
+        // the scan's (possibly single-file) partitioning
+        val base = GeoEngine.widen(
+          s.read.parquet(s"$dir/$table.parquet").select(
+            col(key).cast("long").as("id"),
+            ((col(key) * 13 % 2800) / 8.0 - 175.0).as("cx"),
+            ((col(key) * 17 % 1280) / 8.0 - 80.0).as("cy")))
           .withColumn("coords", graft.functions.GeoExprs.starPoly(
             col("id"), col("cx"), col("cy"), lit(rad), 8, 5, 0.6, 0.4))
         base.select(col("id"), lit(GeomType.POLYGON).as("gtype"), col("coords"),
