@@ -332,6 +332,31 @@ class MultiResSpec extends AnyFunSuite {
         sweep = Some(false))))
   }
 
+  test("widen: narrow inputs repartition to session parallelism, wide stay put") {
+    import org.apache.spark.sql.functions._
+    val target = spark.sparkContext.defaultParallelism
+    // a single-partition source (the compact-parquet shape) must widen —
+    // otherwise every per-row kernel in the projection above it serializes
+    // on one core
+    val narrow = boxes(21, 200).toDF().coalesce(1)
+    assert(narrow.rdd.getNumPartitions == 1)
+    assert(GeoEngine.widen(narrow).rdd.getNumPartitions == target)
+    // an already-wide input is untouched (no gratuitous shuffle at scale)
+    val wide = boxes(22, 200).toDF().repartition(target * 4)
+    assert(GeoEngine.widen(wide).rdd.getNumPartitions == target * 4)
+    // the rasterize path inherits the widening: aprilIndex over a narrow
+    // input must not be single-partition
+    val idx = GeoEngine.aprilIndex(narrow, grid, order = 8)
+    assert(idx.rdd.getNumPartitions == target)
+    // and results are partitioning-independent
+    val a = GeoEngine.aprilIndex(boxes(21, 200).toDF(), grid, order = 8)
+      .select(col("id"), col("april_all")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = idx.select(col("id"), col("april_all")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+  }
+
   test("size-based chooser picks broadcast for small, shuffle for large estimates") {
     val s = boxes(11, 100)
     assert(GeoEngine.chooseBroadcast(s, thresholdBytes = Long.MaxValue))
