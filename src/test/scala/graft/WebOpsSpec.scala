@@ -230,6 +230,12 @@ class WebOpsSpec extends AnyFunSuite {
       // int16 quantization: |error| ≤ half a step + the 32767/32768 scale gap
       assert(ss.zip(wav.samples).forall { case (a, b) =>
         math.abs(a - b) <= 1.0f / 16384 })
+      // PNG is lossless: random pixels round-trip byte-exact through the
+      // JDK encoder/decoder, and the sniff agrees with the producer
+      val png = MediaCodec.encodeImageIO(w, h, px, "png")
+      assert(MediaCodec.sniff(png) == "png")
+      val pimg = MediaCodec.decodeImageIO(png).get
+      assert(pimg.width == w && pimg.height == h && pimg.rgb.toSeq == px.toSeq)
     }
   }
 
