@@ -1023,8 +1023,9 @@ object GeoEngine {
                  dataMeta: Option[SideMeta] = None): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
+    // widen-before-cover: see widen's scaladoc (aprilIndex widens itself)
     val dIx =
-      if (!useApril) data.toDF()
+      if (!useApril) widen(data.toDF())
       else if (data.toDF().columns.contains("april_all")) data.toDF()
       else aprilIndex(data.toDF(), grid, aprilOrder)
     // Multi-resolution covers on BOTH sides: a window (or data object)
@@ -1283,7 +1284,9 @@ object GeoEngine {
     val pl = lit(ppd.toLong)
     val cover = flatten(transform(sequence(jMin, jMax),
       j => transform(sequence(iMin, iMax), i => i + j * pl)))
-    val rt = r.toDF().withColumn("tile", explode(cover))
+    // widen-before-explode: the ε-box cover explode runs on the scan
+    // partitioning (see widen's scaladoc)
+    val rt = widen(r.toDF()).withColumn("tile", explode(cover))
       .select(col("tile"), col("id").as("rid"),
         col("xmin").as("rx"), col("ymin").as("ry"))
     val st = s.toDF().select(
