@@ -1023,9 +1023,12 @@ object GeoEngine {
                  dataMeta: Option[SideMeta] = None): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
-    // widen-before-cover: see widen's scaladoc (aprilIndex widens itself)
+    // no widen here: the range path's per-row work is plain cover
+    // arithmetic (cheap even on one core — measured +0.4 s pure
+    // repartition cost at sf0.1 with no offsetting win); its expensive
+    // kernel, rasterization, goes through aprilIndex, which widens itself
     val dIx =
-      if (!useApril) widen(data.toDF())
+      if (!useApril) data.toDF()
       else if (data.toDF().columns.contains("april_all")) data.toDF()
       else aprilIndex(data.toDF(), grid, aprilOrder)
     // Multi-resolution covers on BOTH sides: a window (or data object)
