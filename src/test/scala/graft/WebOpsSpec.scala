@@ -364,6 +364,26 @@ class WebOpsSpec extends AnyFunSuite {
     assert(!fpPlan.contains("UDF") && fpPlan.contains("fingerprint"))
   }
 
+  test("dupGroups: 10k-node random graph — distributed == union-find") {
+    import spark.implicits._
+    // larger randomized graph (mixed component shapes/sizes) through the
+    // forced-distributed leg: exercises multiple alternating rewrites, the
+    // data-sized loop partitioning, and the exact fixed-point confirmation
+    val rnd = new scala.util.Random(31)
+    val n = 10000
+    val pairs = (1 to 12000)
+      .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("a", "b")
+    val local = graft.ops.TextOps.dupGroups(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dist = graft.ops.TextOps.dupGroups(pairs, localThreshold = 0L)
+    val distMap = dist.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    dist.unpersist()
+    assert(distMap == local,
+      s"paths diverged: ${distMap.size} vs ${local.size} labeled docs")
+  }
+
   test("dupGroups: adversarial long chain converges in O(log n) rounds") {
     import spark.implicits._
     // a 512-node path graph (diameter 511) — min-label propagation needed
