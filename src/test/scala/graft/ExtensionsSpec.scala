@@ -74,6 +74,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e2.getMessage.toLowerCase.contains("type"))
   }
 
+  test("non-positive kernel parameters fail at query construction, not in codegen") {
+    // band_buckets(sig, 0) would divide by zero deep inside generated code;
+    // the expression constructors reject it with a clear message instead
+    for (sql <- Seq(
+        "SELECT band_buckets(array(1L, 2L), 0)",
+        "SELECT minhash_sig('text', 0, 4)",
+        "SELECT minhash_sig('text', 16, -1)",
+        "SELECT shingle_hashes('text', 0)",
+        "SELECT fingerprint('text', 0)",
+        "SELECT hex_cell(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE), 99)",
+        "SELECT lsh_sig(array(CAST(1.0 AS FLOAT)), 1L, 0)")) {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(e.getMessage != null && e.getMessage.contains("must be"),
+        s"$sql: expected a constructor-validation message, got ${e.getMessage}")
+    }
+    // the boundary values themselves are accepted
+    assert(spark.sql("SELECT band_buckets(array(1L, 2L), 1)").collect().nonEmpty)
+    assert(spark.sql(
+      "SELECT hex_cell(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE), 31)")
+      .collect().nonEmpty)
+  }
+
   test("codegen fnv64/hex expressions agree with the Scala kernels") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
