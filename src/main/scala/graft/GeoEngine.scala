@@ -538,8 +538,32 @@ object GeoEngine {
   private[graft] def widen(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // builds the RDD lineage eagerly to read the partition count — plan
+    // compilation only, never launches a job
+    val parts = df.rdd.getNumPartitions
+    if (parts >= target) df
+    else {
+      // guard (round 6, VERDICT r5 #6): an input already within 2× of the
+      // target parallelism pays a full row shuffle for a marginal win —
+      // repartition only when clearly narrow, or when the partitions are
+      // data-heavy enough (Catalyst size estimate, no job) that per-core
+      // kernel time dominates the shuffle it costs
+      val bytesPerPart =
+        df.queryExecution.optimizedPlan.stats.sizeInBytes / math.max(parts, 1)
+      if (parts < math.max(target / 2, 1) || bytesPerPart > BigInt(64L << 20))
+        df.repartition(target)
+      else df
+    }
   }
+
+  /** widen, except for pre-indexed inputs (april_all present): those are
+    * already materialized wide (index build widens before rasterizing), and
+    * a bucketed catalog scan's partitioning must survive to the slim-mode id
+    * re-join — a round-robin repartition would silently reintroduce the
+    * Exchange the bucket layout exists to remove whenever defaultParallelism
+    * exceeds nBuckets (ADVICE r5). */
+  private def widenUnlessIndexed(df: DataFrame): DataFrame =
+    if (df.columns.contains("april_all")) df else widen(df)
 
   def aprilIndex(df: DataFrame, grid: GridConfig, order: Int = AprilOrder): DataFrame = {
     val in = widen(df)
@@ -696,9 +720,10 @@ object GeoEngine {
       return out.select(col("rid"), col("sid"))
     }
     // widen-before-explode: the cover explode + MBR/tile math run as
-    // projections on the scan partitioning (see widen's scaladoc)
-    val rIx = ix(widen(r.toDF()))
-    val sIx = if (broadcastS) ix(s.toDF()) else ix(widen(s.toDF()))
+    // projections on the scan partitioning (see widen's scaladoc); skipped
+    // for pre-indexed inputs (see widenUnlessIndexed)
+    val rIx = ix(widenUnlessIndexed(r.toDF()))
+    val sIx = if (broadcastS) ix(s.toDF()) else ix(widenUnlessIndexed(s.toDF()))
     // In broadcast mode the build side ships whole (one pass, no shuffle), so
     // payload columns ride along. In shuffle mode only (tile, id, gtype, mbr)
     // go through the exchange; geometry/APRIL columns re-join by id afterwards
@@ -850,8 +875,8 @@ object GeoEngine {
     // APRIL interval lists are NOT shipped through the tile explode/shuffle
     // (they dwarf the ring coords); candidates re-join them by id from
     // compact per-object side tables after candidate generation.
-    val rRaw = widen(r.toDF())
-    val sRaw = widen(s.toDF())
+    val rRaw = widenUnlessIndexed(r.toDF())
+    val sRaw = widenUnlessIndexed(s.toDF())
     // find-relation always shuffles (never broadcast), so the density
     // histogram is consulted exactly like spatialJoin's slim path — a hot
     // tile pays the same O(k²) hash filter here
@@ -999,10 +1024,12 @@ object GeoEngine {
                       grid: GridConfig, useApril: Boolean = false,
                       saltFactor: Int = 1,
                       aprilOrder: Int = AprilOrder,
-                      maxFineCover: Int = 16): DataFrame =
+                      maxFineCover: Int = 16,
+                      rMeta: Option[SideMeta] = None,
+                      sMeta: Option[SideMeta] = None): DataFrame =
     spatialJoin(r, s, pred, grid, useApril,
       broadcastS = !useApril && chooseBroadcast(s), saltFactor, aprilOrder,
-      maxFineCover)
+      maxFineCover, rMeta = rMeta, sMeta = sMeta)
 
   // ---------------------------------------------------------- range queries
 

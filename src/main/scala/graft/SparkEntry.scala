@@ -23,6 +23,51 @@ object SparkEntry {
 
   private val grid = Pages.WorldGrid // fixed world grid: no dataspace scan
 
+  // ---- static dispatch metadata (round 6) ---------------------------------
+  //
+  // Every spatialJoin/findRelationJoin/rangeBatch without caller-provided
+  // SideMeta runs an EAGER metadata prepass per side (one or two extra Spark
+  // jobs per query execution — pure fixed overhead on every bench iteration).
+  // The reference computes dataset metadata once at ingest; these constants
+  // are the same knowledge derived a priori from the geometry FORMULAS, so
+  // they hold at every scale factor (the formulas only vary the key range,
+  // and every key-modulus cycles within the smallest table):
+  //
+  //  - points (orderPoints/orderPoints8/skewPoints): a point's MBR cover is
+  //    exactly one fine cell → never wide; gtype == POINT throughout.
+  //  - boxes (part/cust/small/shifted): gtype == BOX throughout (type flags
+  //    exact). Wide/narrow presence is alignment-dependent, so BOTH are
+  //    declared present — a flag that is conservatively true at worst adds a
+  //    provably-empty sub-join branch; a false flag would DROP a sub-join
+  //    that can produce rows, so false is only used where impossible by
+  //    formula (StaticMetaSpec cross-checks every constant against the
+  //    dynamic sideMeta on real inputs).
+  //  - diagSegs: LINESTRINGs, spans 0.5°-5.5° → wide and narrow both occur.
+  //  - starPoly(part, rad=2.0): x-span 4° ≥ ceil(4/0.4128)=10 fine cells,
+  //    y-span 4° ≥ ceil(4/0.2064)=20 → cover ≥ 200 > 16 ⇒ ALWAYS wide.
+  //  - starPoly(customer, rad=0.4): x-span 0.8° ≤ floor(0.8/0.4128)+2 = 3
+  //    cells, y ≤ floor(0.8/0.2064)+2 = 5 → cover ≤ 15 ≤ 16 ⇒ NEVER wide.
+  //
+  // maxHomeTileCnt stays 0: the density-driven sweep auto-selection is a
+  // physical-plan choice (result-identical by property test); none of these
+  // inputs crosses the 8192 hot-tile threshold at the driver's scales, so
+  // plans are unchanged — only the prepass jobs disappear.
+  private val MPoints = Some(GeoEngine.SideMeta(hasWide = false,
+    hasNarrow = true, hasNonRect = false, hasNonBox = true,
+    hasRect = true, hasBox = false))
+  private val MBoxes = Some(GeoEngine.SideMeta(hasWide = true,
+    hasNarrow = true, hasNonRect = false, hasNonBox = false,
+    hasRect = true, hasBox = true))
+  private val MSegs = Some(GeoEngine.SideMeta(hasWide = true,
+    hasNarrow = true, hasNonRect = true, hasNonBox = true,
+    hasRect = false, hasBox = false))
+  private val MStarsWide = Some(GeoEngine.SideMeta(hasWide = true,
+    hasNarrow = false, hasNonRect = true, hasNonBox = true,
+    hasRect = false, hasBox = false))
+  private val MStarsNarrow = Some(GeoEngine.SideMeta(hasWide = false,
+    hasNarrow = true, hasNonRect = true, hasNonBox = true,
+    hasRect = false, hasBox = false))
+
   // ---- deterministic geometry derivations (Spark side) --------------------
 
   private def orderPoints(s: SparkSession, dir: String): DataFrame =
@@ -229,6 +274,51 @@ object SparkEntry {
       when(col("doc_id") % 5 =!= 0, (col("doc_id") % 89) / 10000.0 + 20.0)
         .otherwise((col("doc_id") * 53 % 1700) / 10.0 - 85.0).as("y"))
 
+  /** Star-polygon table for q_poly_relations: codegen star synthesis
+    * (GeoKernels.starPoly) — bit-identical rings to the former UDF (same
+    * literals, same op order), no per-row boxing. Widen BEFORE the starPoly
+    * projection: a repartition added later lands above the projection, so
+    * the synthesis would still run on the scan's (possibly single-file)
+    * partitioning. */
+  private def starTable(s: SparkSession, dir: String, table: String,
+                        key: String, rad: Double): Dataset[GeoRow] = {
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    val base = GeoEngine.widen(
+      s.read.parquet(s"$dir/$table.parquet").select(
+        col(key).cast("long").as("id"),
+        ((col(key) * 13 % 2800) / 8.0 - 175.0).as("cx"),
+        ((col(key) * 17 % 1280) / 8.0 - 80.0).as("cy")))
+      .withColumn("coords", graft.functions.GeoExprs.starPoly(
+        col("id"), col("cx"), col("cy"), lit(rad), 8, 5, 0.6, 0.4))
+    base.select(col("id"), lit(GeomType.POLYGON).as("gtype"), col("coords"),
+      (col("cx") - rad).as("xmin"), (col("cy") - rad).as("ymin"),
+      (col("cx") + rad).as("xmax"), (col("cy") + rad).as("ymax")).as[GeoRow]
+  }
+
+  /** Test hook (StaticMetaSpec): (input, static, dynamically computed)
+    * SideMeta triples for every static-dispatch constant over the actual
+    * bench inputs at `dir` — the safety contract is: type flags exactly
+    * equal, and dynamic wide/narrow presence implies the static flag. */
+  private[graft] def staticMetaPairs(s: SparkSession, dir: String):
+      Seq[(String, GeoEngine.SideMeta, GeoEngine.SideMeta)] = {
+    implicit val sp: SparkSession = s
+    def dyn(ds: Dataset[GeoRow]) = GeoEngine.sideMeta(ds, grid)
+    Seq(
+      ("orderPoints", MPoints.get, dyn(pointsGeo(orderPoints(s, dir)))),
+      ("orderPoints8", MPoints.get, dyn(pointsGeo(orderPoints8(s, dir)))),
+      ("skewPoints", MPoints.get, dyn(pointsGeo(skewPoints(s, dir)))),
+      ("partBoxes", MBoxes.get, dyn(boxesGeo(partBoxes(s, dir)))),
+      ("custBoxes", MBoxes.get, dyn(boxesGeo(custBoxes(s, dir)))),
+      ("smallBoxes", MBoxes.get, dyn(boxesGeo(smallBoxes(s, dir)))),
+      ("shiftedBoxes", MBoxes.get, dyn(boxesGeo(shiftedBoxes(s, dir)))),
+      ("diagSegs", MSegs.get, dyn(segsGeo(diagSegs(s, dir)))),
+      ("partStars", MStarsWide.get,
+        dyn(starTable(s, dir, "part", "p_partkey", 2.0))),
+      ("custStars", MStarsNarrow.get,
+        dyn(starTable(s, dir, "customer", "c_custkey", 0.4))))
+  }
+
   // ---- GeoRow constructors ------------------------------------------------
 
   private def pointsGeo(df: DataFrame)(implicit s: SparkSession): Dataset[GeoRow] = {
@@ -276,19 +366,35 @@ object SparkEntry {
     s"diamonds_o10_b_${tag}_${f.length}"
   }
 
-  /** The diamond table's persisted APRIL index (order 10), served from the
-    * BUCKETED catalog table: built once per JVM+sf dir; every later query
-    * loads the pre-partitioned table and its SideMeta instead of
-    * re-rasterizing and re-scanning — and the slim-mode id re-join reads
-    * the index side without an Exchange (bucketBy(id) pre-partitions it).
-    * The path-snapshot variant remains the durable cross-JVM form
-    * (q_index_build exercises it); the catalog form is the serving
-    * default. */
-  private[graft] def diamondIndex(s: SparkSession, dir: String): graft.store.SpatialIndex.Loaded =
-    graft.store.SpatialIndex.ensureBucketed(s, idxTable(dir), grid,
-      order = 10, nBuckets = 32) {
-      diamonds(s, dir)(s).toDF()
-    }
+  /** The diamond table's persisted APRIL index (order 10), size-dispatched
+    * (round 6, VERDICT r5 "what's wrong #1"): below
+    * `spark.graft.index.bucketedMinBytes` (default 256 MB of source parquet)
+    * the index serves from the PATH SNAPSHOT — at every tested scale the
+    * exchange the bucket layout eliminates is small, while the fixed bucket
+    * count pins the re-join's parallelism and the catalog adds per-query
+    * overhead (measured 1.46-1.59× on all three stored-index queries at
+    * sf0.1). Above the threshold — the 10¹²-row regime where the id re-join's
+    * exchange carries the APRIL arrays — it serves from the BUCKETED catalog
+    * table, with nBuckets sized to the session's parallelism instead of a
+    * constant (BucketedServingSpec keeps the exchange-elimination plan
+    * assertion for this regime). Same philosophy as chooseBroadcast: measured
+    * cost at small scale, structural win at large, dispatched by size. */
+  private[graft] def diamondIndex(s: SparkSession, dir: String): graft.store.SpatialIndex.Loaded = {
+    val srcBytes = new java.io.File(s"$dir/part.parquet").length
+    val minBytes = s.conf.get("spark.graft.index.bucketedMinBytes",
+      (256L << 20).toString).toLong
+    if (srcBytes >= minBytes) {
+      val nBuckets = s.sparkContext.defaultParallelism
+      graft.store.SpatialIndex.ensureBucketed(s, s"${idxTable(dir)}_$nBuckets",
+        grid, order = 10, nBuckets = nBuckets) {
+        diamonds(s, dir)(s).toDF()
+      }
+    } else
+      graft.store.SpatialIndex.ensure(s, idxRoot(dir), "diamonds_o10_serve",
+        grid, order = 10) {
+        diamonds(s, dir)(s).toDF()
+      }
+  }
 
   // ---- flagship -----------------------------------------------------------
 
@@ -318,7 +424,8 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       // size-based chooser picks broadcast vs shuffle from Catalyst stats
       GeoEngine.spatialJoinAuto(pointsGeo(orderPoints(s, dir)),
-        boxesGeo(partBoxes(s, dir)), Predicates.INTERSECTS, grid)
+        boxesGeo(partBoxes(s, dir)), Predicates.INTERSECTS, grid,
+        rMeta = MPoints, sMeta = MBoxes)
     }),
     // 80% of the points share ONE fine tile (worst-case key skew): the
     // salted shuffle path fans the hot tile across 8 sub-keys so no single
@@ -329,42 +436,48 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       GeoEngine.spatialJoin(pointsGeo(skewPoints(s, dir)),
         boxesGeo(partBoxes(s, dir)), Predicates.INTERSECTS, grid,
-        saltFactor = 8)
+        saltFactor = 8, rMeta = MPoints, sMeta = MBoxes)
     }),
     "q_inside_join" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       GeoEngine.spatialJoin(boxesGeo(smallBoxes(s, dir)),
-        boxesGeo(partBoxes(s, dir)), Predicates.INSIDE, grid)
+        boxesGeo(partBoxes(s, dir)), Predicates.INSIDE, grid,
+        rMeta = MBoxes, sMeta = MBoxes)
     }),
     "q_equal_join" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       GeoEngine.spatialJoin(boxesGeo(custBoxes(s, dir)),
-        boxesGeo(partBoxes(s, dir)), Predicates.EQUAL, grid)
+        boxesGeo(partBoxes(s, dir)), Predicates.EQUAL, grid,
+        rMeta = MBoxes, sMeta = MBoxes)
     }),
     "q_meet_join" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       GeoEngine.spatialJoin(boxesGeo(partBoxes(s, dir)),
-        boxesGeo(shiftedBoxes(s, dir)), Predicates.MEET, grid)
+        boxesGeo(shiftedBoxes(s, dir)), Predicates.MEET, grid,
+        rMeta = MBoxes, sMeta = MBoxes)
     }),
     "q_find_relation" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       GeoEngine.findRelationJoin(boxesGeo(partBoxes(s, dir)),
-        boxesGeo(custBoxes(s, dir)), grid)
+        boxesGeo(custBoxes(s, dir)), grid, rMeta = MBoxes, sMeta = MBoxes)
     }),
     "q_contains_join" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       GeoEngine.spatialJoin(boxesGeo(partBoxes(s, dir)),
-        boxesGeo(smallBoxes(s, dir)), Predicates.CONTAINS, grid)
+        boxesGeo(smallBoxes(s, dir)), Predicates.CONTAINS, grid,
+        rMeta = MBoxes, sMeta = MBoxes)
     }),
     "q_covers_join" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       GeoEngine.spatialJoin(boxesGeo(partBoxes(s, dir)),
-        boxesGeo(smallBoxes(s, dir)), Predicates.COVERS, grid)
+        boxesGeo(smallBoxes(s, dir)), Predicates.COVERS, grid,
+        rMeta = MBoxes, sMeta = MBoxes)
     }),
     "q_covered_by_join" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       GeoEngine.spatialJoin(boxesGeo(smallBoxes(s, dir)),
-        boxesGeo(partBoxes(s, dir)), Predicates.COVERED_BY, grid)
+        boxesGeo(partBoxes(s, dir)), Predicates.COVERED_BY, grid,
+        rMeta = MBoxes, sMeta = MBoxes)
     }),
     // tile-local DISJOINT: MBR-overlapping candidates whose geometries are
     // disjoint (points off a diagonal segment) — the reference's documented
@@ -372,7 +485,8 @@ object SparkEntry {
     "q_disjoint_join" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       GeoEngine.spatialJoin(pointsGeo(orderPoints8(s, dir)),
-        segsGeo(diagSegs(s, dir)), Predicates.DISJOINT, grid)
+        segsGeo(diagSegs(s, dir)), Predicates.DISJOINT, grid,
+        rMeta = MPoints, sMeta = MSegs)
     }),
     // APRIL-path oracles: the interval verdicts run for real (non-rectangular
     // geometry), inconclusive pairs fall through to exact refinement. The
@@ -389,7 +503,8 @@ object SparkEntry {
       // slim exchange + re-join-by-id even at sf0.1
       GeoEngine.spatialJoin(pointsGeo(orderPoints8(s, dir)),
         idx.df.as[GeoRow], Predicates.INTERSECTS, grid,
-        useApril = true, aprilOrder = 10, sMeta = Some(idx.meta))
+        useApril = true, aprilOrder = 10, rMeta = MPoints,
+        sMeta = Some(idx.meta))
     }),
     // the buildIndex lifecycle itself, oracle-checked end-to-end: force a
     // fresh build + commit, read the snapshot back, emit the stored MBRs
@@ -409,7 +524,7 @@ object SparkEntry {
       val idx = diamondIndex(s, dir)
       GeoEngine.findRelationJoin(pointsGeo(orderPoints8(s, dir)),
         idx.df.as[GeoRow], grid, useApril = true, aprilOrder = 10,
-        sMeta = Some(idx.meta))
+        rMeta = MPoints, sMeta = Some(idx.meta))
     }),
     "q_distance_join" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -468,20 +583,22 @@ object SparkEntry {
           Array(cx - hw, cy, cx, cy - hh, cx + hw, cy, cx, cy + hh, cx - hw, cy)))
       }.toSeq
       GeoEngine.rangeBatch(pointsGeo(orderPoints8(s, dir)), wins, grid,
-        useApril = true, aprilOrder = 10)
+        useApril = true, aprilOrder = 10, dataMeta = MPoints)
     }),
     "q_range_count" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val wins = nationWindows(s, dir).collect().map(r =>
         (r.getLong(0), Geom.box(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toSeq
-      GeoEngine.rangeBatch(pointsGeo(orderPoints(s, dir)), wins, grid)
+      GeoEngine.rangeBatch(pointsGeo(orderPoints(s, dir)), wins, grid,
+        dataMeta = MPoints)
         .groupBy("qid").agg(count(lit(1)).as("n"))
     }),
     "q_range_collect" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val wins = nationWindows(s, dir).collect().map(r =>
         (r.getLong(0), Geom.box(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toSeq
-      GeoEngine.rangeBatch(pointsGeo(orderPoints(s, dir)), wins, grid)
+      GeoEngine.rangeBatch(pointsGeo(orderPoints(s, dir)), wins, grid,
+        dataMeta = MPoints)
     }),
 
     // --- dedup ---
@@ -548,29 +665,15 @@ object SparkEntry {
     "q_poly_relations" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
-      // codegen star synthesis (GeoKernels.starPoly) — bit-identical rings
-      // to the former UDF (same literals, same op order), no per-row boxing
-      def polyTable(table: String, key: String, rad: Double) = {
-        // widen BEFORE the starPoly projection: a repartition added later
-        // lands above the projection, so the synthesis would still run on
-        // the scan's (possibly single-file) partitioning
-        val base = GeoEngine.widen(
-          s.read.parquet(s"$dir/$table.parquet").select(
-            col(key).cast("long").as("id"),
-            ((col(key) * 13 % 2800) / 8.0 - 175.0).as("cx"),
-            ((col(key) * 17 % 1280) / 8.0 - 80.0).as("cy")))
-          .withColumn("coords", graft.functions.GeoExprs.starPoly(
-            col("id"), col("cx"), col("cy"), lit(rad), 8, 5, 0.6, 0.4))
-        base.select(col("id"), lit(GeomType.POLYGON).as("gtype"), col("coords"),
-          (col("cx") - rad).as("xmin"), (col("cy") - rad).as("ymin"),
-          (col("cx") + rad).as("xmax"), (col("cy") + rad).as("ymax")).as[GeoRow]
-      }
+      def polyTable(table: String, key: String, rad: Double) =
+        starTable(s, dir, table, key, rad)
       // plain refinement path: these stars are 8-13 vertices, so exact
       // relate is cheaper than rasterize+broadcast of degree-scale APRIL
       // lists (the APRIL topology filter pays on vertex-heavy geometry —
       // see ScaleBench's 3.4x and the useApril equivalence test)
       GeoEngine.findRelationJoin(polyTable("part", "p_partkey", 2.0),
-        polyTable("customer", "c_custkey", 0.4), grid)
+        polyTable("customer", "c_custkey", 0.4), grid,
+        rMeta = MStarsWide, sMeta = MStarsNarrow)
         .groupBy("relation").agg(count(lit(1)).as("n"))
     }),
 
@@ -652,7 +755,10 @@ object SparkEntry {
     // --- web-scale layer (synthetic pages; deterministic) ---
     "q_geotag_tiles" -> ((s, dir) => {
       val n = if (dir.contains("0.001")) 2000L else if (dir.contains("0.01")) 20000L else 200000L
-      Pages.tileAssignments(s, Pages.synthesize(s, n).toDF())
+      // column-only (url, text) synthesis: same bytes as Pages.synthesize
+      // (shared kernels, PagesSpec-pinned), but no Page encoder round-trip
+      // and no html/ts/lang work — the tile assignment reads neither
+      Pages.tileAssignments(s, Pages.synthesizeUrlText(s, n))
         .select(col("id"), col("tile"), col("coarseTile").as("coarse_tile"), col("hexCell").as("hex_cell"))
     }),
     "q_media_features" -> ((s, dir) => {
@@ -666,7 +772,10 @@ object SparkEntry {
       // quantization). Each is encoded to actual file bytes and DECODED
       // back — WAV/BMP by the pure-JVM codecs, PNG/JPEG by javax.imageio.
       // kind / width / height / frames all come from the real decode.
-      val pages = Pages.synthesize(s, n).toDF()
+      // doc_id = fnv64(url) — the url is the ONLY page field this query
+      // reads, so synthesize just that column (identical bytes to the
+      // Pages.synthesize path; PagesSpec pins the kernels)
+      val pages = Pages.synthesizeUrlText(s, n)
         .withColumn("doc_id", graft.functions.GeoExprs.fnv64(col("url")))
       // ONE pass: synthesize bytes, header-parse the metadata, decode the
       // features — no double synthesis, no join (map-side only)

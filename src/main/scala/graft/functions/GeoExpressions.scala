@@ -246,6 +246,35 @@ case class Fnv64(child: Expression) extends UnaryExpression with ExpectsInputTyp
     copy(child = newChild)
 }
 
+/** Deterministic synthetic page url for an id (codegen; delegates to the
+  * same Pages.urlFor kernel the typed `synthesize` path uses, so both paths
+  * are byte-identical by construction). */
+case class PageUrl(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "page_url"
+  override def nullSafeEval(id: Any): Any =
+    graft.web.Pages.urlUtf8(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.web.Pages.urlUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): PageUrl =
+    copy(child = newChild)
+}
+
+/** Deterministic synthetic page text for an id (codegen; same Pages.textFor
+  * kernel as the typed path). */
+case class PageText(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "page_text"
+  override def nullSafeEval(id: Any): Any =
+    graft.web.Pages.textUtf8(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.web.Pages.textUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): PageText =
+    copy(child = newChild)
+}
+
 /** H3-style hex cell id of a lon/lat point at a fixed resolution (codegen) —
   * replaces the per-row hexUdf in the tile-assignment path. */
 case class HexCellOf(x: Expression, y: Expression, res: Int)
@@ -438,6 +467,10 @@ object GeoExprs {
       xMin, yMin, xExt, yExt, order))
 
   def fnv64(s: Column): Column = GraftColumnBridge.column(Fnv64(e(s)))
+
+  def pageUrl(id: Column): Column = GraftColumnBridge.column(PageUrl(e(id)))
+
+  def pageText(id: Column): Column = GraftColumnBridge.column(PageText(e(id)))
 
   def starPoly(id: Column, cx: Column, cy: Column, rad: Column,
                nBase: Int, nMod: Int, rBase: Double, rSpan: Double): Column =

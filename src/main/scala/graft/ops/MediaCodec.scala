@@ -373,10 +373,25 @@ object MediaCodec {
   // a JDK (PNG losslessly so; JPEG per its fixed IDCT implementation).
 
   /** Decode a PNG or JPEG payload via javax.imageio into packed 0xRRGGBB
-    * (alpha dropped). None on corrupt/oversized input. */
+    * (alpha dropped). None on corrupt/oversized input.
+    *
+    * Decompression-bomb guard (ADVICE r5): the declared dimensions are read
+    * from the HEADER first and rejected above the pixel cap BEFORE
+    * ImageIO.read allocates the raster — a tiny crafted file declaring huge
+    * dimensions (plausible in crawl-shaped untrusted payloads) must fall
+    * back to None, not OOM the executor. The catch also covers
+    * OutOfMemoryError/linkage errors from the decoder itself: this is a
+    * per-row decode of untrusted bytes, where "skip the row" is the
+    * contract and the allocation that failed is confined to the decoder. */
   def decodeImageIO(b: Array[Byte]): Option[Bmp] = {
     val kind = sniff(b)
     if (kind != "png" && kind != "jpeg") return None
+    imageIOHeader(b) match {
+      case Some((hw, hh))
+        if hw <= 0 || hh <= 0 || hw.toLong * hh > Int.MaxValue / 4 => return None
+      case None => return None
+      case _ =>
+    }
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
       if (img == null) return None
@@ -386,7 +401,11 @@ object MediaCodec {
       var i = 0
       while (i < rgb.length) { rgb(i) &= 0xffffff; i += 1 }
       Some(Bmp(w, h, rgb))
-    } catch { case _: Exception => None }
+    } catch {
+      case _: Exception => None
+      case _: OutOfMemoryError => None
+      case _: LinkageError => None
+    }
   }
 
   /** Header-only (width, height) for PNG/JPEG: ImageIO readers parse dims

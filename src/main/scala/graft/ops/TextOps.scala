@@ -240,8 +240,21 @@ object TextOps {
     val starPairs = sized.where(col("bsz") > maxBucket && col("doc_id") =!= col("bmin"))
       .select(col("bmin").as("a"), col("doc_id").as("b"))
     val candidates = smallPairs.unionByName(starPairs).distinct()
-    val shingles = docs.select(col("doc_id"),
-      TextExprs.shingleHashes(col("text"), gram).as("sh"))
+    // Shingle CANDIDATE docs only (round 6): the former plan computed the
+    // sorted shingle array for EVERY doc twice (the a-side and b-side
+    // verification joins are two subtrees whose exchanges hash different
+    // attributes, so ReuseExchange cannot collapse them). Semi-joining the
+    // corpus against the distinct candidate ids first means the shingle
+    // kernel — the verification stage's dominant per-row cost — runs once
+    // per doc THAT APPEARS IN A CANDIDATE PAIR, and only those docs' arrays
+    // enter the two verification exchanges (shuffle the light id list, not
+    // the heavy arrays — guide §2.3/§8). AQE broadcasts the id list when
+    // it turns out small; same output bit-for-bit (same kernels, a filter
+    // never changes surviving rows).
+    val candIds = candidates
+      .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val shingles = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TextExprs.shingleHashes(col("text"), gram).as("sh"))
     candidates
       .join(shingles.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(shingles.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
@@ -285,18 +298,22 @@ object TextOps {
                 localThreshold: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // the pair pipeline (LSH + verification) feeds the size probe AND the
-    // grouping — cache it so it runs once, not once per action
-    val pc = pairs.cache()
-    // size-based dispatch (same philosophy as the join chooser): a pair set
-    // that fits on the driver resolves in one collect + union-find — two
-    // jobs instead of one per round. The distributed loop below is the
-    // 10¹²-doc path.
-    val nPairs = pc.count()
-    if (nPairs <= localThreshold) {
-      val es = pc.select(col("a"), col("b")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      pc.unpersist()
+    // Size-based dispatch (same philosophy as the join chooser): a pair set
+    // that fits on the driver resolves with one union-find. Round-6 change:
+    // the probe is a LIMIT-bounded collect on the UNCACHED pipeline instead
+    // of the former cache+count+collect — caching compiled the whole LSH
+    // pipeline into an InMemoryRelation whose physical plan is frozen
+    // WITHOUT adaptive execution (no runtime broadcast conversion, no
+    // partition coalescing: every stage ran at the full static shuffle
+    // partition count), and the probe itself was a second job. One bounded
+    // collect keeps AQE live and bounds driver memory exactly like the old
+    // count probe did: ≤ localThreshold rows land on the driver, else we
+    // fall through to the distributed loop (which recomputes the pipeline
+    // once, cached — the same two total passes the count probe paid).
+    val probeLimit = (math.min(localThreshold, Int.MaxValue - 9L) + 1L).toInt
+    val es0 = pairs.select(col("a"), col("b")).limit(probeLimit).collect()
+    if (es0.length <= localThreshold) {
+      val es = es0.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -317,6 +334,12 @@ object TextOps {
       }
       return parent.keys.toSeq.map(d => (d, find(d))).toDF("doc_id", "group_id")
     }
+    // distributed path: cache the pair pipeline — it feeds the partition
+    // sizing count AND the canonical edge-set construction below (and at
+    // this size the per-round loop opts out of AQE anyway, so the
+    // cached-plan trade-off is moot)
+    val pc = pairs.cache()
+    val nPairs = pc.count()
     // edges kept canonical as (hi > lo); adjacency rebuilt per rewrite
     def adj(e: DataFrame): DataFrame =
       e.select(col("hi").as("src"), col("lo").as("dst"))

@@ -49,12 +49,26 @@ object Pages {
     h
   }
 
+  /** Deterministic url for a page id — the single definition `synthesize`
+    * and the codegen [[graft.functions.PageUrl]] expression both call, so
+    * the two synthesis paths are byte-identical by construction
+    * (PagesSpec asserts it). */
+  def urlFor(id: Long): String =
+    s"https://site-${Math.floorMod(mix(id), 10000L)}.example/page/${id}"
+
+  // UTF8String entry points for the codegen expressions (PageUrl/PageText):
+  // consumers that only need url/text columns skip the typed-map encoder
+  // and the html/timestamp/lang synthesis entirely
+  def urlUtf8(id: Long): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(urlFor(id))
+  def textUtf8(id: Long): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(textFor(id))
+
   /** Generate `n` synthetic pages, distributed via spark.range. */
   def synthesize(spark: SparkSession, n: Long): Dataset[Page] = {
     import spark.implicits._
     spark.range(n).map { id =>
-      val url = s"https://site-${Math.floorMod(mix(id), 10000L)}.example/" +
-        s"page/${id}"
+      val url = urlFor(id)
       val text = textFor(id)
       val lang = Langs(Math.floorMod(mix(id + 7), Langs.length.toLong).toInt)
       val html = s"<html><body>$text</body></html>".getBytes("UTF-8")
@@ -62,6 +76,16 @@ object Pages {
       Page(url, ts, html, text, lang)
     }
   }
+
+  /** Column-only synthesis of the (url, text) slice: same bytes as
+    * `synthesize` (shared kernels), but as codegen expressions over
+    * spark.range — no Page object, no encoder ser/de, and no html/ts/lang
+    * work for consumers (geotagging, doc-id derivation) that never read
+    * them. Guide §2.3: don't compute what you throw away. */
+  def synthesizeUrlText(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      GeoExprs.pageUrl(col("id")).as("url"),
+      GeoExprs.pageText(col("id")).as("text"))
 
   /** Deterministic geotag from url+text: FNV64 of the url picks the
     * longitude band, a text fingerprint the latitude — stable per url.
