@@ -433,19 +433,158 @@ object GeoEngine {
         side(rIx, "r", "rid", fine = false, selR),
         side(sIx, "s", "sid", fine = false, selS),
         grid.coarseExtX, grid.coarseExtY, grid.coarsePpd)
-    // sub-joins whose participating level-class is provably empty on either
-    // side are dropped from the plan entirely (no scan, no exchange): an
-    // all-wide side never feeds the fine join; a no-wide side never feeds
-    // its coarse join
-    val parts = Seq(
-      if (rm.hasNarrow && sm.hasNarrow) Some(fineJoin) else None,
-      if (sHasWide) Some(coarseJoin(0, 1)) else None,
-      if (rHasWide && sm.hasNarrow) Some(coarseJoin(1, -1)) else None
-    ).flatten
-    // an empty (or degenerate) input leaves no sub-join — keep the fine join
-    // so the schema (and the empty result) still materialize
-    (if (parts.nonEmpty) parts else Seq(fineJoin)).reduce(_ unionByName _)
+    if ((sweepFine || sweepCoarse) && slim) {
+      // dense-data dispatch keeps the three-sub-join structure (the sweep
+      // replaces individual sub-joins; levels cannot share one cogroup)
+      val parts = Seq(
+        if (rm.hasNarrow && sm.hasNarrow) Some(fineJoin) else None,
+        if (sHasWide) Some(coarseJoin(0, 1)) else None,
+        if (rHasWide && sm.hasNarrow) Some(coarseJoin(1, -1)) else None
+      ).flatten
+      (if (parts.nonEmpty) parts else Seq(fineJoin)).reduce(_ unionByName _)
+    } else {
+      // ---- merged multi-resolution exchange (round 6, guide §2.4) ----
+      // The three disjoint sub-joins cost 2-3 scans+explodes and one
+      // exchange PER SIDE PER SUB-JOIN (up to 6 exchanges + 3 joins). A
+      // level-encoded tile key — fine ids as-is (< 2⁴⁰), coarse ids offset
+      // by LvlOffset — produces the IDENTICAL candidate set from one
+      // explode + one exchange per side and one join:
+      //   narrow rows emit their fine cover (iff the other side has narrow
+      //   rows) and their coarse cover (iff the other side has wide rows —
+      //   narrow×narrow pairs join at fine only); wide rows emit their
+      //   coarse cover. The post-join level filter drops coarse-level
+      //   both-narrow pairs (they already joined at fine), and the
+      //   reference-point dedup runs at the pair's own level, exactly as
+      //   the per-sub-join rule did. Total exploded rows are ≤ the old
+      //   sub-joins' (wide rows previously exploded at coarse twice).
+      mergedJoin(
+        mrEmission(rIx, "r", "rid",
+          emitF = rm.hasNarrow && sm.hasNarrow,
+          emitCNarrow = rm.hasNarrow && sm.hasWide,
+          emitCWide = rm.hasWide,
+          wide, grid, slim, payload),
+        mrEmission(sIx, "s", "sid",
+          emitF = rm.hasNarrow && sm.hasNarrow,
+          emitCNarrow = sm.hasNarrow && rm.hasWide,
+          emitCWide = sm.hasWide,
+          wide, grid, slim, payload),
+        grid, broadcastS, saltFactor, maxFineCover,
+        levelFilter = true)
+    }
   }
+
+  /** Level tag offset for the merged multi-resolution exchange: fine tile
+    * ids are < globalPpd² (≤ 872² here), coarse ids get this offset — one
+    * long key encodes (level, cell) with no struct boxing. */
+  private val LvlOffset = 1L << 40
+
+  /** Fine-cover count over prefixed MBR columns (post-join recomputation of
+    * a side's wide/narrow class — cheaper than carrying a flag through the
+    * exchange). */
+  private def fineCoverCntP(p: String, grid: GridConfig): Column = {
+    val iMin = clampIdx(col(p + "xmin"), grid.fineExtX, grid.xMin, grid.globalPpd)
+    val iMax = clampIdx(col(p + "xmax"), grid.fineExtX, grid.xMin, grid.globalPpd)
+    val jMin = clampIdx(col(p + "ymin"), grid.fineExtY, grid.yMin, grid.globalPpd)
+    val jMax = clampIdx(col(p + "ymax"), grid.fineExtY, grid.yMin, grid.globalPpd)
+    (iMax - iMin + lit(1L)) * (jMax - jMin + lit(1L))
+  }
+
+  /** Level-encoded cover array at one grid level (points: single cell). */
+  private def lvlCoverArr(grid: GridConfig, fine: Boolean): Column = {
+    val (extX, extY, ppd, off) =
+      if (fine) (grid.fineExtX, grid.fineExtY, grid.globalPpd, 0L)
+      else (grid.coarseExtX, grid.coarseExtY, grid.coarsePpd, LvlOffset)
+    val iMin = clampIdx(col("xmin"), extX, grid.xMin, ppd)
+    val iMax = clampIdx(col("xmax"), extX, grid.xMin, ppd)
+    val jMin = clampIdx(col("ymin"), extY, grid.yMin, ppd)
+    val jMax = clampIdx(col("ymax"), extY, grid.yMin, ppd)
+    val pl = lit(ppd.toLong)
+    val o = lit(off)
+    val cover = flatten(transform(sequence(jMin, jMax),
+      j => transform(sequence(iMin, iMax), i => i + j * pl + o)))
+    val single = array(iMin + jMin * pl + o)
+    when(col("gtype") === GeomType.POINT, single).otherwise(cover)
+  }
+
+  /** One side's single-pass multi-level emission for the merged exchange. */
+  private def mrEmission(df: DataFrame, p: String, idName: String,
+      emitF: Boolean, emitCNarrow: Boolean, emitCWide: Boolean,
+      wide: Column, grid: GridConfig, slim: Boolean,
+      payload: String => Seq[Column]): DataFrame = {
+    val emptyA = typedlit(Array.empty[Long])
+    val cCond = (emitCNarrow, emitCWide) match {
+      case (true, true)  => Some(lit(true))
+      case (true, false) => Some(!wide)
+      case (false, true) => Some(wide)
+      case _             => None
+    }
+    val arrs = Seq(
+      if (emitF) Some(when(!wide, lvlCoverArr(grid, fine = true)).otherwise(emptyA))
+      else None,
+      cCond.map(c => when(c, lvlCoverArr(grid, fine = false)).otherwise(emptyA))
+    ).flatten
+    // no emission (degenerate empty-side metadata): empty array explodes to
+    // zero rows — schema still materializes, join is empty
+    val tiles = arrs.reduceOption(concat(_, _)).getOrElse(emptyA)
+    val base = Seq(col("tile"), col("id").as(idName), col("gtype").as(p + "g"),
+      col("xmin").as(p + "xmin"), col("ymin").as(p + "ymin"),
+      col("xmax").as(p + "xmax"), col("ymax").as(p + "ymax"))
+    df.withColumn("tile", explode(tiles))
+      .select((if (slim) base else base ++ payload(p)): _*)
+  }
+
+  /** The merged join over level-encoded tiles: MBR overlap + per-level
+    * reference-point dedup (+ the both-narrow level filter when
+    * `levelFilter`; containment candidates need neither dedup nor filter —
+    * they pass `levelFilter = false` and apply their own containment
+    * predicate). */
+  private def mergedJoin(rt0: DataFrame, st0: DataFrame, grid: GridConfig,
+      broadcastS: Boolean, saltFactor: Int, maxFineCover: Int,
+      levelFilter: Boolean,
+      saltIdCol: String = "rid",
+      pairCond: Option[Column] = None): DataFrame = {
+    // the side carrying `saltIdCol` is the probe (stable pmod salt from its
+    // id); the other side replicates saltFactor ways — for containment
+    // predicates the probe can be either physical side
+    val salted = saltFactor > 1 && !broadcastS
+    def pmodSalt(df: DataFrame) =
+      df.withColumn("salt", pmod(hash(col(saltIdCol)), lit(saltFactor)))
+    def explodeSalt(df: DataFrame) =
+      df.withColumn("salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    val rtHasId = rt0.columns.contains(saltIdCol)
+    val rt = if (!salted) rt0 else if (rtHasId) pmodSalt(rt0) else explodeSalt(rt0)
+    val st1 = if (!salted) st0 else if (rtHasId) explodeSalt(st0) else pmodSalt(st0)
+    val st = if (broadcastS) broadcast(st1) else st1
+    val keys = if (salted) Seq("tile", "salt") else Seq("tile")
+    val isCoarse = col("tile") >= lit(LvlOffset)
+    def refCell(fine: Boolean): Column = {
+      val (extX, extY, ppd, off) =
+        if (fine) (grid.fineExtX, grid.fineExtY, grid.globalPpd, 0L)
+        else (grid.coarseExtX, grid.coarseExtY, grid.coarsePpd, LvlOffset)
+      val refI = clampIdx(greatest(col("rxmin"), col("sxmin")), extX, grid.xMin, ppd)
+      val refJ = clampIdx(greatest(col("rymin"), col("symin")), extY, grid.yMin, ppd)
+      refI + refJ * lit(ppd.toLong) + lit(off)
+    }
+    val mbrOverlap =
+      col("rxmax") >= col("sxmin") && col("rxmin") <= col("sxmax") &&
+      col("rymax") >= col("symin") && col("rymin") <= col("symax")
+    val dedup = when(isCoarse, refCell(fine = false) === col("tile"))
+      .otherwise(refCell(fine = true) === col("tile"))
+    val lvlOk =
+      if (!levelFilter) lit(true)
+      else !isCoarse || fineCoverCntP("r", grid) > maxFineCover ||
+        fineCoverCntP("s", grid) > maxFineCover
+    val cond = pairCond.getOrElse(mbrOverlap && dedup)
+    val stH = slimJoinHint match {
+      case Some(h) if !broadcastS => st.hint(h)
+      case _ => st
+    }
+    rt.join(stH, keys).where(cond && lvlOk).drop("tile", "salt")
+  }
+
+  /** Experiment knob: candidate-join strategy hint in slim mode. */
+  private val slimJoinHint: Option[String] =
+    sys.props.get("graft.slimJoinHint").filter(_.nonEmpty)
 
   /**
    * Candidate pairs for CONTAINMENT predicates (INSIDE/COVERED_BY: r ⊆ s;
@@ -465,27 +604,6 @@ object GeoEngine {
     val slim = !broadcastS
     val wide = fineCoverCnt(grid) > maxFineCover
 
-    def cells(df: DataFrame, p: String, idName: String, fine: Boolean,
-              home: Boolean, sel: Int): DataFrame = {
-      val filtered = sel match {
-        case -1 => df.where(!wide)
-        case 1  => df.where(wide)
-        case _  => df
-      }
-      val (extX, extY, ppd) =
-        if (fine) (grid.fineExtX, grid.fineExtY, grid.globalPpd)
-        else (grid.coarseExtX, grid.coarseExtY, grid.coarsePpd)
-      val withTile =
-        if (home) filtered.withColumn("tile",
-          clampIdx(col("xmin"), extX, grid.xMin, ppd) +
-            clampIdx(col("ymin"), extY, grid.yMin, ppd) * lit(ppd.toLong))
-        else explodeCover(filtered, extX, extY, grid.xMin, grid.yMin, ppd)
-      val base = Seq(col("tile"), col("id").as(idName), col("gtype").as(p + "g"),
-        col("xmin").as(p + "xmin"), col("ymin").as(p + "ymin"),
-        col("xmax").as(p + "xmax"), col("ymax").as(p + "ymax"))
-      withTile.select((if (slim) base else base ++ payload(p)): _*)
-    }
-
     val (inner, innerP, innerId) = if (innerIsR) (rIx, "r", "rid") else (sIx, "s", "sid")
     val (outer, outerP, outerId) = if (innerIsR) (sIx, "s", "sid") else (rIx, "r", "rid")
 
@@ -495,28 +613,51 @@ object GeoEngine {
       col(innerP + "ymin") >= col(outerP + "ymin") &&
       col(innerP + "ymax") <= col(outerP + "ymax")
 
-    def bc(df: DataFrame, isS: Boolean) =
-      if (broadcastS && isS) broadcast(df) else df
-    def subJoin(it0: DataFrame, ot0: DataFrame): DataFrame = {
-      val salted = saltFactor > 1 && slim
-      val it = if (salted)
-        it0.withColumn("salt", pmod(hash(col(innerId)), lit(saltFactor))) else it0
-      val ot = if (salted)
-        ot0.withColumn("salt", explode(sequence(lit(0), lit(saltFactor - 1)))) else ot0
-      val keys = if (salted) Seq("tile", "salt") else Seq("tile")
-      bc(it, innerId == "sid").join(bc(ot, outerId == "sid"), keys)
-        .where(innerInOuter).drop("tile", "salt")
+    // merged level-encoded exchange (round 6, guide §2.4 — same key scheme
+    // as mrCandidates): the inner side emits its home cell at each level
+    // the outer population needs (≤ 2 rows per object instead of one
+    // exploded table per sub-join); the outer side emits narrow rows' fine
+    // cover and wide rows' coarse cover. The key's level tag guarantees a
+    // containment pair joins exactly once, at the outer object's own level
+    // — no post-join level filter and no reference-point dedup needed.
+    def homeCell(fine: Boolean): Column = {
+      val (extX, extY, ppd, off) =
+        if (fine) (grid.fineExtX, grid.fineExtY, grid.globalPpd, 0L)
+        else (grid.coarseExtX, grid.coarseExtY, grid.coarsePpd, LvlOffset)
+      clampIdx(col("xmin"), extX, grid.xMin, ppd) +
+        clampIdx(col("ymin"), extY, grid.yMin, ppd) * lit(ppd.toLong) + lit(off)
     }
-    def fineSub = subJoin(
-      cells(inner, innerP, innerId, fine = true, home = true, 0),
-      cells(outer, outerP, outerId, fine = true, home = false, -1))
-    val parts = Seq(
-      if (outerHasNarrow) Some(fineSub) else None,
-      if (outerHasWide) Some(subJoin(
-        cells(inner, innerP, innerId, fine = false, home = true, 0),
-        cells(outer, outerP, outerId, fine = false, home = false, 1))) else None
-    ).flatten
-    (if (parts.nonEmpty) parts else Seq(fineSub)).reduce(_ unionByName _)
+    val emptyA = typedlit(Array.empty[Long])
+    def sel(df: DataFrame, p: String, idName: String): DataFrame = {
+      val base = Seq(col("tile"), col("id").as(idName), col("gtype").as(p + "g"),
+        col("xmin").as(p + "xmin"), col("ymin").as(p + "ymin"),
+        col("xmax").as(p + "xmax"), col("ymax").as(p + "ymax"))
+      df.select((if (slim) base else base ++ payload(p)): _*)
+    }
+    // the single-level case (one outer population) keeps the inner side
+    // explode-free: one row per object, plain column tile — the plan's only
+    // Generate is the outer cover (MultiResSpec pins this)
+    val innerTiled = (outerHasNarrow, outerHasWide) match {
+      case (true, false) => inner.withColumn("tile", homeCell(fine = true))
+      case (false, true) => inner.withColumn("tile", homeCell(fine = false))
+      case (true, true) => inner.withColumn("tile",
+        explode(array(homeCell(fine = true), homeCell(fine = false))))
+      case _ => inner.withColumn("tile", homeCell(fine = true)) // degenerate
+    }
+    val outerTiles = Seq(
+      if (outerHasNarrow)
+        Some(when(!wide, lvlCoverArr(grid, fine = true)).otherwise(emptyA))
+      else None,
+      if (outerHasWide)
+        Some(when(wide, lvlCoverArr(grid, fine = false)).otherwise(emptyA))
+      else None
+    ).flatten.reduceOption(concat(_, _)).getOrElse(emptyA)
+    val it = sel(innerTiled, innerP, innerId)
+    val ot = sel(outer.withColumn("tile", explode(outerTiles)), outerP, outerId)
+    val (rt, st) = if (innerIsR) (it, ot) else (ot, it)
+    mergedJoin(rt, st, grid, broadcastS, saltFactor, maxFineCover,
+      levelFilter = false, saltIdCol = innerId,
+      pairCond = Some(innerInOuter))
   }
 
   /**
@@ -980,24 +1121,29 @@ object GeoEngine {
       // small side to a broadcast at runtime. An all-point side skips the
       // re-join: its A-list is one Hilbert cell, synthesized inline and
       // bit-identical to the rasterized form (GeoKernels.pointCell).
-      def attachApril(c: DataFrame, df: DataFrame, p: String, idName: String,
-                      allPoints: Boolean): DataFrame =
+      // ONE payload re-join per side (round 6): the APRIL interval arrays
+      // and the ring coords are attached in the SAME id join — the former
+      // two-step attach (april first, geometry later) planned two
+      // broadcasts/exchanges of the same index table per side with no
+      // intermediate filter between them to justify the split.
+      def attachAll(c: DataFrame, df: DataFrame, p: String, idName: String,
+                    allPoints: Boolean): DataFrame =
         if (allPoints) {
           val cell = GeoExprs.hilbertCell(col(p + "xmin"), col(p + "ymin"),
             grid.xMin, grid.yMin, grid.xExtent, grid.yExtent, aprilOrder)
           c.withColumn(p + "a", array(cell, cell + lit(1L)))
             .withColumn(p + "f", typedlit(Array.empty[Long]))
+            .withColumn(p + "c", array(col(p + "xmin"), col(p + "ymin")))
         } else c.join(df.select(col("id").as(idName),
-          col("april_all").as(p + "a"), col("april_full").as(p + "f")), Seq(idName))
-      val withA = attachApril(attachApril(cands, rIxDf, "r", "rid", rAllPoints),
+          col("april_all").as(p + "a"), col("april_full").as(p + "f"),
+          col("coords").as(p + "c")), Seq(idName))
+      attachAll(attachAll(cands, rIxDf, "r", "rid", rAllPoints),
           sIxDf, "s", "sid", sAllPoints)
         .withColumn("april_rel",
           GeoExprs.aprilTopoRel(col("ra"), col("rf"), col("sa"), col("sf"), mbrCase))
-      // unresolved box pairs fall back to the column fast path; only
-      // unresolved non-box pairs pay the geometry re-join + kernel
-      // (useAprilEff implies anyNonBox — the all-box case was pruned above).
-      attachGeom(attachGeom(withA, rIxDf, "r", "rid", rAllPoints),
-          sIxDf, "s", "sid", sAllPoints)
+        // unresolved box pairs fall back to the column fast path; only
+        // unresolved non-box pairs pay the geometry kernel
+        // (useAprilEff implies anyNonBox — the all-box case was pruned above).
         .select(col("rid"), col("sid"),
           when(col("april_rel") >= 0, col("april_rel"))
             .otherwise(when(bothBox, boxRel).otherwise(relExpr))
@@ -1075,8 +1221,27 @@ object GeoEngine {
           grid.xExtent, grid.yExtent, aprilOrder)
         qid -> (a.all, a.full)
       }.toMap
-    def qRowsFor(sel: Seq[(Long, Geom)], fine: Boolean) = sel.flatMap {
-      case (qid, g) =>
+    val (wideQ, narrowQ) = queries.partition { case (_, g) =>
+      val m = g.mbr
+      (grid.fineX(m.xmax).min(grid.globalPpd - 1).max(0) -
+        grid.fineX(m.xmin).min(grid.globalPpd - 1).max(0) + 1).toLong *
+      (grid.fineY(m.ymax).min(grid.globalPpd - 1).max(0) -
+        grid.fineY(m.ymin).min(grid.globalPpd - 1).max(0) + 1).toLong > maxFineCover
+    }
+    val dm = dataMeta.getOrElse(sideStats(dIx, grid, maxFineCover,
+      withDensity = false))
+    val wide = fineCoverCnt(grid) > maxFineCover
+    // merged level-encoded broadcast join (round 6, guide §2.4 — the same
+    // key scheme as mrCandidates): ONE scan + explode of the data and ONE
+    // broadcast carry all three level pairings. Window rows are driver-built
+    // at their level(s): narrow windows at fine (+ coarse when wide data
+    // exists), wide windows at coarse; narrow data emits its fine cover
+    // (iff narrow windows exist) and coarse cover (iff wide windows exist),
+    // wide data its coarse cover. The level filter drops coarse-level
+    // narrow×narrow pairs (already joined at fine); the reference-point
+    // dedup runs at the pair's own level. Each window still rasterizes once.
+    def qRows(sel: Seq[(Long, Geom)], fine: Boolean, isWide: Boolean) =
+      sel.flatMap { case (qid, g) =>
         val m = g.mbr
         val (qall, qfull) = qApprox.getOrElse(qid,
           (Array.emptyLongArray, Array.emptyLongArray))
@@ -1087,55 +1252,57 @@ object GeoEngine {
             val ci1 = math.min(math.max(grid.coarseX(m.xmax), 0), grid.coarsePpd - 1)
             val cj0 = math.min(math.max(grid.coarseY(m.ymin), 0), grid.coarsePpd - 1)
             val cj1 = math.min(math.max(grid.coarseY(m.ymax), 0), grid.coarsePpd - 1)
-            (for { j <- cj0 to cj1; i <- ci0 to ci1 } yield grid.coarseId(i, j)).toSeq
+            (for { j <- cj0 to cj1; i <- ci0 to ci1 }
+              yield grid.coarseId(i, j) + LvlOffset).toSeq
           }
         cells.map(t =>
-          (qid, t, g.gtype, g.coords, m.xmin, m.ymin, m.xmax, m.ymax, qall, qfull))
-    }.toDF("qid", "tile", "qg", "qc", "qxmin", "qymin", "qxmax", "qymax",
-      "qall", "qfull")
-    val (wideQ, narrowQ) = queries.partition { case (_, g) =>
-      val m = g.mbr
-      (grid.fineX(m.xmax).min(grid.globalPpd - 1).max(0) -
-        grid.fineX(m.xmin).min(grid.globalPpd - 1).max(0) + 1).toLong *
-      (grid.fineY(m.ymax).min(grid.globalPpd - 1).max(0) -
-        grid.fineY(m.ymin).min(grid.globalPpd - 1).max(0) + 1).toLong > maxFineCover
-    }
+          (qid, t, isWide, g.gtype, g.coords, m.xmin, m.ymin, m.xmax, m.ymax,
+            qall, qfull))
+      }
+    val qdf = (
+      qRows(narrowQ, fine = true, isWide = false) ++
+      (if (dm.hasWide) qRows(narrowQ, fine = false, isWide = false) else Nil) ++
+      qRows(wideQ, fine = false, isWide = true)
+    ).toDF("qid", "tile", "qwide", "qg", "qc", "qxmin", "qymin",
+      "qxmax", "qymax", "qall", "qfull")
 
     val mbrOverlap =
       col("xmax") >= col("qxmin") && col("xmin") <= col("qxmax") &&
       col("ymax") >= col("qymin") && col("ymin") <= col("qymax")
-    val dm = dataMeta.getOrElse(sideStats(dIx, grid, maxFineCover,
-      withDensity = false))
-    val wide = fineCoverCnt(grid) > maxFineCover
-    // one sub-join per level pairing: data explodes at the sub-join's
-    // level, the reference-point dedup runs at that level
-    def subJoin(dSel: Int /* -1 narrow, 1 wide, 0 all */, qdf: DataFrame,
-                fine: Boolean): DataFrame = {
-      val (extX, extY, ppd) =
-        if (fine) (grid.fineExtX, grid.fineExtY, grid.globalPpd)
-        else (grid.coarseExtX, grid.coarseExtY, grid.coarsePpd)
-      val filtered = dSel match {
-        case -1 => dIx.where(!wide)
-        case 1  => dIx.where(wide)
-        case _  => dIx
+    if (queries.isEmpty || (!dm.hasNarrow && !dm.hasWide))
+      return spark.emptyDataFrame
+        .select(lit(0L).as("qid"), lit(0L).as("id")).limit(0)
+    val emptyA = typedlit(Array.empty[Long])
+    val dataTiles = Seq(
+      if (dm.hasNarrow && narrowQ.nonEmpty)
+        Some(when(!wide, lvlCoverArr(grid, fine = true)).otherwise(emptyA))
+      else None,
+      {
+        // coarse emission: narrow data pairs wide windows; wide data pairs all
+        val cond = (dm.hasNarrow && wideQ.nonEmpty, dm.hasWide) match {
+          case (true, true)  => Some(lit(true))
+          case (true, false) => Some(!wide)
+          case (false, true) => Some(wide)
+          case _             => None
+        }
+        cond.map(c => when(c, lvlCoverArr(grid, fine = false)).otherwise(emptyA))
       }
-      val dt = explodeCover(filtered, extX, extY, grid.xMin, grid.yMin, ppd)
+    ).flatten.reduceOption(concat(_, _)).getOrElse(emptyA)
+    val dt = dIx.withColumn("tile", explode(dataTiles))
+    val isCoarse = col("tile") >= lit(LvlOffset)
+    def refCell(fine: Boolean): Column = {
+      val (extX, extY, ppd, off) =
+        if (fine) (grid.fineExtX, grid.fineExtY, grid.globalPpd, 0L)
+        else (grid.coarseExtX, grid.coarseExtY, grid.coarsePpd, LvlOffset)
       val refI = clampIdx(greatest(col("xmin"), col("qxmin")), extX, grid.xMin, ppd)
       val refJ = clampIdx(greatest(col("ymin"), col("qymin")), extY, grid.yMin, ppd)
-      val dedup = (refI + refJ * lit(ppd.toLong)) === col("tile")
-      dt.join(broadcast(qdf), Seq("tile")).where(mbrOverlap && dedup)
+      refI + refJ * lit(ppd.toLong) + lit(off)
     }
-    val parts = Seq(
-      if (dm.hasNarrow && narrowQ.nonEmpty)
-        Some(subJoin(-1, qRowsFor(narrowQ, fine = true), fine = true)) else None,
-      if (dm.hasWide && queries.nonEmpty)
-        Some(subJoin(1, qRowsFor(queries, fine = false), fine = false)) else None,
-      if (dm.hasNarrow && wideQ.nonEmpty)
-        Some(subJoin(-1, qRowsFor(wideQ, fine = false), fine = false)) else None
-    ).flatten
-    if (parts.isEmpty) return spark.emptyDataFrame
-      .select(lit(0L).as("qid"), lit(0L).as("id")).limit(0)
-    val joined = parts.reduce(_ unionByName _)
+    val dedup = when(isCoarse, refCell(fine = false) === col("tile"))
+      .otherwise(refCell(fine = true) === col("tile"))
+    val lvlOk = !isCoarse || col("qwide") || fineCoverCnt(grid) > maxFineCover
+    val joined = dt.join(broadcast(qdf), Seq("tile"))
+      .where(mbrOverlap && dedup && lvlOk)
 
     def intersectsExpr: Column = GeoExprs.stRefine(Predicates.INTERSECTS,
       col("qg"), col("qc"), col("gtype"), col("coords"))

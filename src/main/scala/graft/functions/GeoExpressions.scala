@@ -45,11 +45,70 @@ object GeoKernels {
     Topology.findRelation(
       Geom(rg, rc.toDoubleArray()), Geom(sg, sc.toDoubleArray()))
 
+  // ---- zero-copy interval algebra over ArrayData (round 6) --------------
+  // Identical semantics to April.intervalsOverlap / intervalsContained /
+  // verdict (AprilKernelParitySpec property-pins the equivalence): the
+  // expression entry points were copying every candidate pair's interval
+  // lists to fresh long[]s (toLongArray) before the merge scan — at ~10⁶
+  // candidate pairs per query the per-pair copies dominated the APRIL
+  // filter stage (measured 1.9 s vs 0.5 s exact-only on
+  // q_find_relation_april at sf0.1).
+
+  private[graft] def overlapAD(a: ArrayData, b: ArrayData): Boolean = {
+    val an = a.numElements(); val bn = b.numElements()
+    var i = 0; var j = 0
+    while (i < an && j < bn) {
+      val as = a.getLong(i); val ae = a.getLong(i + 1)
+      val bs = b.getLong(j); val be = b.getLong(j + 1)
+      if (as < be && bs < ae) return true
+      if (ae <= bs) i += 2 else j += 2
+    }
+    false
+  }
+
+  /** Is every interval of `a` fully contained in the union of `b`? */
+  private[graft] def containedAD(a: ArrayData, b: ArrayData): Boolean = {
+    val an = a.numElements(); val bn = b.numElements()
+    if (an == 0) return true
+    if (bn == 0) return false
+    var i = 0; var j = 0
+    while (i < an) {
+      val as = a.getLong(i); val ae = a.getLong(i + 1)
+      while (j < bn && b.getLong(j + 1) <= as) j += 2
+      if (j >= bn || b.getLong(j) > as || b.getLong(j + 1) < ae) return false
+      i += 2
+    }
+    true
+  }
+
   def aprilVerdict(pred: Int, ra: ArrayData, rf: ArrayData,
-                   sa: ArrayData, sf: ArrayData): Int =
-    April.verdict(pred,
-      April.Approx(ra.toLongArray(), rf.toLongArray()),
-      April.Approx(sa.toLongArray(), sf.toLongArray()))
+                   sa: ArrayData, sf: ArrayData): Int = pred match {
+    // mirrors April.verdict case-for-case on the zero-copy ops
+    case Predicates.INTERSECTS =>
+      if (!overlapAD(ra, sa)) April.TRUE_NEGATIVE
+      else if (overlapAD(rf, sa) || overlapAD(ra, sf)) April.TRUE_HIT
+      else April.INCONCLUSIVE
+    case Predicates.DISJOINT =>
+      if (!overlapAD(ra, sa)) April.TRUE_HIT
+      else if (overlapAD(rf, sa) || overlapAD(ra, sf)) April.TRUE_NEGATIVE
+      else April.INCONCLUSIVE
+    case Predicates.INSIDE | Predicates.COVERED_BY =>
+      if (!containedAD(ra, sa)) April.TRUE_NEGATIVE
+      else if (containedAD(ra, sf)) April.TRUE_HIT
+      else April.INCONCLUSIVE
+    case Predicates.CONTAINS | Predicates.COVERS =>
+      if (!containedAD(sa, ra)) April.TRUE_NEGATIVE
+      else if (containedAD(sa, rf)) April.TRUE_HIT
+      else April.INCONCLUSIVE
+    case Predicates.EQUAL =>
+      if (!overlapAD(ra, sa)) April.TRUE_NEGATIVE
+      else April.INCONCLUSIVE
+    case Predicates.MEET =>
+      if (!overlapAD(ra, sa)) April.TRUE_NEGATIVE
+      else if (overlapAD(rf, sa) || overlapAD(ra, sf)) April.TRUE_NEGATIVE
+      else April.INCONCLUSIVE
+    case _ => April.INCONCLUSIVE
+  }
 
   /** Hilbert cell id of a point — identical math to April.rasterize's POINT
     * case, so an inline-synthesized [cell, cell+1) A-list is bit-identical
@@ -73,17 +132,17 @@ object GeoKernels {
   }
 
   /** APRIL topology (find-relation) intermediate filter; -1 = unresolved.
-    * See GeoEngine.findRelationJoin for the soundness argument. */
+    * See GeoEngine.findRelationJoin for the soundness argument. Zero-copy
+    * (round 6): interval scans run directly on the ArrayData — no per-pair
+    * long[] materialization. */
   def aprilTopoRel(ra: ArrayData, rf: ArrayData, sa: ArrayData, sf: ArrayData,
                    mbrCase: Int): Int = {
-    val raA = ra.toLongArray(); val saA = sa.toLongArray()
-    if (!April.intervalsOverlap(raA, saA)) {
+    if (!overlapAD(ra, sa)) {
       if (mbrCase == 0) -1 else Topology.TR_DISJOINT
-    } else if (April.intervalsContained(saA, rf.toLongArray())) Topology.TR_CONTAINS
-    else if (April.intervalsContained(raA, sf.toLongArray())) Topology.TR_INSIDE
+    } else if (containedAD(sa, rf)) Topology.TR_CONTAINS
+    else if (containedAD(ra, sf)) Topology.TR_INSIDE
     else if (mbrCase == 3 &&
-      (April.intervalsOverlap(rf.toLongArray(), saA) ||
-       April.intervalsOverlap(raA, sf.toLongArray()))) Topology.TR_INTERSECT
+      (overlapAD(rf, sa) || overlapAD(ra, sf))) Topology.TR_INTERSECT
     else -1
   }
 }

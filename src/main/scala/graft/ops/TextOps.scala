@@ -240,21 +240,15 @@ object TextOps {
     val starPairs = sized.where(col("bsz") > maxBucket && col("doc_id") =!= col("bmin"))
       .select(col("bmin").as("a"), col("doc_id").as("b"))
     val candidates = smallPairs.unionByName(starPairs).distinct()
-    // Shingle CANDIDATE docs only (round 6): the former plan computed the
-    // sorted shingle array for EVERY doc twice (the a-side and b-side
-    // verification joins are two subtrees whose exchanges hash different
-    // attributes, so ReuseExchange cannot collapse them). Semi-joining the
-    // corpus against the distinct candidate ids first means the shingle
-    // kernel — the verification stage's dominant per-row cost — runs once
-    // per doc THAT APPEARS IN A CANDIDATE PAIR, and only those docs' arrays
-    // enter the two verification exchanges (shuffle the light id list, not
-    // the heavy arrays — guide §2.3/§8). AQE broadcasts the id list when
-    // it turns out small; same output bit-for-bit (same kernels, a filter
-    // never changes surviving rows).
-    val candIds = candidates
-      .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
-    val shingles = docs.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), TextExprs.shingleHashes(col("text"), gram).as("sh"))
+    // Round-6 note: a candidate-id semi-join prune before shingling (shingle
+    // only docs appearing in a candidate pair) was tried and MEASURED SLOWER
+    // at bench scale (+0.8 s at sf0.1): the extra distinct + broadcast
+    // stages and the second evaluation of the LSH candidate subtree cost
+    // more than the shingle kernel they save. Kept as-is: the full-corpus
+    // shingle projection evaluates lazily inside each verification join's
+    // map stage, and the candidate join keys prune at the exchange.
+    val shingles = docs.select(col("doc_id"),
+      TextExprs.shingleHashes(col("text"), gram).as("sh"))
     candidates
       .join(shingles.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(shingles.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))

@@ -38,9 +38,15 @@ object SpatialIndex {
         .cast("long"), lit(0L)), lit(grid.coarsePpd - 1L)) +
       least(greatest(floor((col("ymin") - lit(grid.yMin)) / lit(grid.coarseExtY))
         .cast("long"), lit(0L)), lit(grid.coarsePpd - 1L)) * lit(grid.coarsePpd.toLong)
-    val indexed = GeoEngine.aprilIndex(cached, grid, order)
-      .withColumn("home_coarse", homeCoarse)
-      .repartition(col("home_coarse"))
+    // repartition BEFORE rasterizing (round 6, guide §2.3): the coarse-cell
+    // clustering shuffle then carries only ids + coords, not the APRIL
+    // interval arrays it used to (which dominate the indexed row), and the
+    // rasterize kernel runs as a projection on the post-shuffle partitions —
+    // parallel without the extra round-robin widen shuffle the old order
+    // needed (aprilIndex's widen sees the repartitioned input and no-ops)
+    val indexed = GeoEngine.aprilIndex(
+      cached.withColumn("home_coarse", homeCoarse)
+        .repartition(col("home_coarse")), grid, order)
     Snapshots.commit(indexed, root, table, lineage = Map(
       "stage" -> "build_index",
       "april_order" -> order.toString,
