@@ -574,17 +574,12 @@ object GeoEngine {
       if (!levelFilter) lit(true)
       else !isCoarse || fineCoverCntP("r", grid) > maxFineCover ||
         fineCoverCntP("s", grid) > maxFineCover
+    // no static join-strategy hint: merge/shuffle_hash/broadcast hints on
+    // this join were all measured equal-or-worse than Catalyst+AQE's own
+    // choice at sf0.1 (OPTIMIZATION_r06.md "measured but rejected")
     val cond = pairCond.getOrElse(mbrOverlap && dedup)
-    val stH = slimJoinHint match {
-      case Some(h) if !broadcastS => st.hint(h)
-      case _ => st
-    }
-    rt.join(stH, keys).where(cond && lvlOk).drop("tile", "salt")
+    rt.join(st, keys).where(cond && lvlOk).drop("tile", "salt")
   }
-
-  /** Experiment knob: candidate-join strategy hint in slim mode. */
-  private val slimJoinHint: Option[String] =
-    sys.props.get("graft.slimJoinHint").filter(_.nonEmpty)
 
   /**
    * Candidate pairs for CONTAINMENT predicates (INSIDE/COVERED_BY: r ⊆ s;
