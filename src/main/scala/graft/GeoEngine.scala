@@ -692,14 +692,26 @@ object GeoEngine {
     }
   }
 
-  /** widen, except for pre-indexed inputs (april_all present): those are
-    * already materialized wide (index build widens before rasterizing), and
-    * a bucketed catalog scan's partitioning must survive to the slim-mode id
-    * re-join — a round-robin repartition would silently reintroduce the
-    * Exchange the bucket layout exists to remove whenever defaultParallelism
-    * exceeds nBuckets (ADVICE r5). */
-  private def widenUnlessIndexed(df: DataFrame): DataFrame =
-    if (df.columns.contains("april_all")) df else widen(df)
+  /** widen, except for BUCKETED pre-indexed inputs: a bucketed catalog
+    * scan's partitioning must survive to the slim-mode id re-join — a
+    * round-robin repartition would silently reintroduce the Exchange the
+    * bucket layout exists to remove whenever defaultParallelism exceeds
+    * nBuckets (ADVICE r5). A PATH-SNAPSHOT index has no layout to protect
+    * and its compact files combine into few scan splits, so skipping widen
+    * there serializes the whole candidate+kernel chain on ~one task when
+    * the join plans as a broadcast (measured 1.87 s vs 0.71 s on
+    * q_find_relation_april at sf0.1) — it widens like any other input. */
+  private def widenUnlessBucketed(df: DataFrame): DataFrame = {
+    val bucketed = df.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.bucketSpec.isDefined
+          case _ => false
+        }
+    }.exists(identity)
+    if (bucketed) df else widen(df)
+  }
 
   def aprilIndex(df: DataFrame, grid: GridConfig, order: Int = AprilOrder): DataFrame = {
     val in = widen(df)
@@ -857,9 +869,9 @@ object GeoEngine {
     }
     // widen-before-explode: the cover explode + MBR/tile math run as
     // projections on the scan partitioning (see widen's scaladoc); skipped
-    // for pre-indexed inputs (see widenUnlessIndexed)
-    val rIx = ix(widenUnlessIndexed(r.toDF()))
-    val sIx = if (broadcastS) ix(s.toDF()) else ix(widenUnlessIndexed(s.toDF()))
+    // for pre-indexed inputs (see widenUnlessBucketed)
+    val rIx = ix(widenUnlessBucketed(r.toDF()))
+    val sIx = if (broadcastS) ix(s.toDF()) else ix(widenUnlessBucketed(s.toDF()))
     // In broadcast mode the build side ships whole (one pass, no shuffle), so
     // payload columns ride along. In shuffle mode only (tile, id, gtype, mbr)
     // go through the exchange; geometry/APRIL columns re-join by id afterwards
@@ -1011,8 +1023,8 @@ object GeoEngine {
     // APRIL interval lists are NOT shipped through the tile explode/shuffle
     // (they dwarf the ring coords); candidates re-join them by id from
     // compact per-object side tables after candidate generation.
-    val rRaw = widenUnlessIndexed(r.toDF())
-    val sRaw = widenUnlessIndexed(s.toDF())
+    val rRaw = widenUnlessBucketed(r.toDF())
+    val sRaw = widenUnlessBucketed(s.toDF())
     // find-relation always shuffles (never broadcast), so the density
     // histogram is consulted exactly like spatialJoin's slim path — a hot
     // tile pays the same O(k²) hash filter here

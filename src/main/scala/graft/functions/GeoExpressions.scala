@@ -54,8 +54,31 @@ object GeoKernels {
   // filter stage (measured 1.9 s vs 0.5 s exact-only on
   // q_find_relation_april at sf0.1).
 
+  /** Index (in flat element units) of the first interval of `b` whose END
+    * exceeds `s` — the only interval that can overlap/cover a probe starting
+    * at `s` (intervals are sorted and disjoint). O(log n). */
+  private def firstEndAbove(b: ArrayData, bn: Int, s: Long): Int = {
+    var lo = 0; var hi = bn >>> 1 // interval count
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (b.getLong(2 * mid + 1) <= s) lo = mid + 1 else hi = mid
+    }
+    2 * lo
+  }
+
   private[graft] def overlapAD(a: ArrayData, b: ArrayData): Boolean = {
     val an = a.numElements(); val bn = b.numElements()
+    // single-interval probe (a point's A-list is one Hilbert cell): binary
+    // search instead of the linear merge — O(log) per pair on the hot
+    // point-probe joins
+    if (an == 2) {
+      val j = firstEndAbove(b, bn, a.getLong(0))
+      return j < bn && b.getLong(j) < a.getLong(1)
+    }
+    if (bn == 2) {
+      val i = firstEndAbove(a, an, b.getLong(0))
+      return i < an && a.getLong(i) < b.getLong(1)
+    }
     var i = 0; var j = 0
     while (i < an && j < bn) {
       val as = a.getLong(i); val ae = a.getLong(i + 1)
@@ -71,6 +94,13 @@ object GeoKernels {
     val an = a.numElements(); val bn = b.numElements()
     if (an == 0) return true
     if (bn == 0) return false
+    if (bn == 2) // sorted a: containment is a two-endpoint check
+      return a.getLong(0) >= b.getLong(0) && a.getLong(an - 1) <= b.getLong(1)
+    if (an == 2) { // single probe interval: binary search its covering slot
+      val as = a.getLong(0); val ae = a.getLong(1)
+      val j = firstEndAbove(b, bn, as)
+      return j < bn && b.getLong(j) <= as && b.getLong(j + 1) >= ae
+    }
     var i = 0; var j = 0
     while (i < an) {
       val as = a.getLong(i); val ae = a.getLong(i + 1)
