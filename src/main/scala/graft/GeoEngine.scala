@@ -478,17 +478,6 @@ object GeoEngine {
     * long key encodes (level, cell) with no struct boxing. */
   private val LvlOffset = 1L << 40
 
-  /** Fine-cover count over prefixed MBR columns (post-join recomputation of
-    * a side's wide/narrow class — cheaper than carrying a flag through the
-    * exchange). */
-  private def fineCoverCntP(p: String, grid: GridConfig): Column = {
-    val iMin = clampIdx(col(p + "xmin"), grid.fineExtX, grid.xMin, grid.globalPpd)
-    val iMax = clampIdx(col(p + "xmax"), grid.fineExtX, grid.xMin, grid.globalPpd)
-    val jMin = clampIdx(col(p + "ymin"), grid.fineExtY, grid.yMin, grid.globalPpd)
-    val jMax = clampIdx(col(p + "ymax"), grid.fineExtY, grid.yMin, grid.globalPpd)
-    (iMax - iMin + lit(1L)) * (jMax - jMin + lit(1L))
-  }
-
   /** Level-encoded cover array at one grid level (points: single cell). */
   private def lvlCoverArr(grid: GridConfig, fine: Boolean): Column = {
     val (extX, extY, ppd, off) =
@@ -557,23 +546,24 @@ object GeoEngine {
     val st = if (broadcastS) broadcast(st1) else st1
     val keys = if (salted) Seq("tile", "salt") else Seq("tile")
     val isCoarse = col("tile") >= lit(LvlOffset)
-    def refCell(fine: Boolean): Column = {
-      val (extX, extY, ppd, off) =
-        if (fine) (grid.fineExtX, grid.fineExtY, grid.globalPpd, 0L)
-        else (grid.coarseExtX, grid.coarseExtY, grid.coarsePpd, LvlOffset)
-      val refI = clampIdx(greatest(col("rxmin"), col("sxmin")), extX, grid.xMin, ppd)
-      val refJ = clampIdx(greatest(col("rymin"), col("symin")), extY, grid.yMin, ppd)
-      refI + refJ * lit(ppd.toLong) + lit(off)
-    }
     val mbrOverlap =
       col("rxmax") >= col("sxmin") && col("rxmin") <= col("sxmax") &&
       col("rymax") >= col("symin") && col("rymin") <= col("symax")
-    val dedup = when(isCoarse, refCell(fine = false) === col("tile"))
-      .otherwise(refCell(fine = true) === col("tile"))
+    // dedup + level filter as compact codegen kernel calls (round 6): the
+    // inline clampIdx/CASE chains (12 least/greatest/FLOOR chains) pushed
+    // this join's generated doConsume method to ~8.5 KB bytecode — past the
+    // JVM's 8000-byte JIT ceiling (DontCompileHugeMethods), which silently
+    // de-optimized the hottest stage of every merged-exchange join to
+    // INTERPRETED bytecode (2.5× on q_find_relation_april at sf0.1).
+    // MergedKernelParitySpec pins bit-equality with the Column chains.
+    val dedup = GeoExprs.mergedRefDedup(col("tile"),
+      col("rxmin"), col("rymin"), col("sxmin"), col("symin"), grid, LvlOffset)
+    def coverCnt(p: String): Column = GeoExprs.fineCoverCount(
+      col(p + "xmin"), col(p + "ymin"), col(p + "xmax"), col(p + "ymax"), grid)
     val lvlOk =
       if (!levelFilter) lit(true)
-      else !isCoarse || fineCoverCntP("r", grid) > maxFineCover ||
-        fineCoverCntP("s", grid) > maxFineCover
+      else !isCoarse || coverCnt("r") > maxFineCover ||
+        coverCnt("s") > maxFineCover
     // no static join-strategy hint: merge/shuffle_hash/broadcast hints on
     // this join were all measured equal-or-worse than Catalyst+AQE's own
     // choice at sf0.1 (OPTIMIZATION_r06.md "measured but rejected")
@@ -1297,17 +1287,13 @@ object GeoEngine {
     ).flatten.reduceOption(concat(_, _)).getOrElse(emptyA)
     val dt = dIx.withColumn("tile", explode(dataTiles))
     val isCoarse = col("tile") >= lit(LvlOffset)
-    def refCell(fine: Boolean): Column = {
-      val (extX, extY, ppd, off) =
-        if (fine) (grid.fineExtX, grid.fineExtY, grid.globalPpd, 0L)
-        else (grid.coarseExtX, grid.coarseExtY, grid.coarsePpd, LvlOffset)
-      val refI = clampIdx(greatest(col("xmin"), col("qxmin")), extX, grid.xMin, ppd)
-      val refJ = clampIdx(greatest(col("ymin"), col("qymin")), extY, grid.yMin, ppd)
-      refI + refJ * lit(ppd.toLong) + lit(off)
-    }
-    val dedup = when(isCoarse, refCell(fine = false) === col("tile"))
-      .otherwise(refCell(fine = true) === col("tile"))
-    val lvlOk = !isCoarse || col("qwide") || fineCoverCnt(grid) > maxFineCover
+    // compact codegen kernels instead of inline clampIdx/CASE chains — same
+    // JIT-bytecode-ceiling rationale as mergedJoin (see there)
+    val dedup = GeoExprs.mergedRefDedup(col("tile"),
+      col("xmin"), col("ymin"), col("qxmin"), col("qymin"), grid, LvlOffset)
+    val lvlOk = !isCoarse || col("qwide") ||
+      GeoExprs.fineCoverCount(col("xmin"), col("ymin"),
+        col("xmax"), col("ymax"), grid) > maxFineCover
     val joined = dt.join(broadcast(qdf), Seq("tile"))
       .where(mbrOverlap && dedup && lvlOk)
 

@@ -161,6 +161,53 @@ object GeoKernels {
         new org.apache.spark.sql.catalyst.util.GenericArrayData(a.full)))
   }
 
+  /** Clamped grid index — scalar twin of GeoEngine.clampIdx's Column chain
+    * (`least(greatest(floor((v - lo)/ext), 0), ppd-1)`), bit-identical for
+    * the non-null finite inputs the join paths feed it (Spark's FLOOR on a
+    * double is `(long) Math.floor(x)`). */
+  @inline private def clampIdxL(v: Double, lo: Double, ext: Double, ppd: Int): Long = {
+    val i = math.floor((v - lo) / ext).toLong
+    if (i < 0L) 0L else if (i > ppd - 1L) ppd - 1L else i
+  }
+
+  /** Level-aware reference-cell dedup for the merged multi-resolution
+    * exchange: keep the pair only in the cell (at the tile's own level)
+    * owning the MBR intersection's min corner. One static call replacing a
+    * ~1.2 KB inline chain of 4 clampIdx expressions + a CASE — the merged
+    * join's doConsume method was 8.5 KB of bytecode, just past the JVM's
+    * 8000-byte JIT ceiling (DontCompileHugeMethods), so the hottest join
+    * stage ran INTERPRETED (measured 2.5× on q_find_relation_april). */
+  def refCellDedup(tile: Long, axmin: Double, aymin: Double,
+                   bxmin: Double, bymin: Double,
+                   xMin: Double, yMin: Double,
+                   fineExtX: Double, fineExtY: Double, globalPpd: Int,
+                   coarseExtX: Double, coarseExtY: Double, coarsePpd: Int,
+                   lvlOffset: Long): Boolean = {
+    val ix = if (axmin >= bxmin) axmin else bxmin
+    val iy = if (aymin >= bymin) aymin else bymin
+    if (tile >= lvlOffset)
+      clampIdxL(ix, xMin, coarseExtX, coarsePpd) +
+        clampIdxL(iy, yMin, coarseExtY, coarsePpd) * coarsePpd + lvlOffset == tile
+    else
+      clampIdxL(ix, xMin, fineExtX, globalPpd) +
+        clampIdxL(iy, yMin, fineExtY, globalPpd) * globalPpd == tile
+  }
+
+  /** Fine-grid cover count of an MBR — scalar twin of
+    * GeoEngine.fineCoverCntP (same clamped-floor arithmetic), for the merged
+    * join's both-narrow level filter. Same JIT-ceiling motivation as
+    * refCellDedup: 4 more inline clampIdx chains per side collapse to one
+    * call. */
+  def fineCoverCnt(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                   xMin: Double, yMin: Double,
+                   fineExtX: Double, fineExtY: Double, globalPpd: Int): Long = {
+    val iMin = clampIdxL(xmin, xMin, fineExtX, globalPpd)
+    val iMax = clampIdxL(xmax, xMin, fineExtX, globalPpd)
+    val jMin = clampIdxL(ymin, yMin, fineExtY, globalPpd)
+    val jMax = clampIdxL(ymax, yMin, fineExtY, globalPpd)
+    (iMax - iMin + 1L) * (jMax - jMin + 1L)
+  }
+
   /** APRIL topology (find-relation) intermediate filter; -1 = unresolved.
     * See GeoEngine.findRelationJoin for the soundness argument. Zero-copy
     * (round 6): interval scans run directly on the ArrayData — no per-pair
@@ -485,6 +532,70 @@ case class KnnTiles(x: Expression, y: Expression, k: Int,
     copy(x = newLeft, y = newRight)
 }
 
+/** Merged-exchange reference-cell dedup as ONE compact codegen call.
+  * Semantics identical to the inline Column chain it replaces
+  * (`when(tile >= LvlOffset, coarseRefCell === tile).otherwise(fineRefCell
+  * === tile)` over clampIdx chains); the point is BYTECODE SIZE: the inline
+  * form pushed the merged join's generated doConsume past the JVM's
+  * 8000-byte JIT ceiling, de-optimizing the whole stage to interpreted
+  * bytecode (guide §4 — keep the hot path in compiled codegen). */
+case class MergedRefDedup(tile: Expression, axmin: Expression, aymin: Expression,
+                          bxmin: Expression, bymin: Expression,
+                          xMin: Double, yMin: Double,
+                          fineExtX: Double, fineExtY: Double, globalPpd: Int,
+                          coarseExtX: Double, coarseExtY: Double, coarsePpd: Int,
+                          lvlOffset: Long)
+    extends QuinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(LongType, DoubleType, DoubleType, DoubleType, DoubleType)
+  override def children: Seq[Expression] = Seq(tile, axmin, aymin, bxmin, bymin)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "merged_ref_dedup"
+  private def call = "graft.functions.GeoKernels.refCellDedup"
+  private def consts =
+    s"${xMin}D, ${yMin}D, ${fineExtX}D, ${fineExtY}D, $globalPpd, " +
+      s"${coarseExtX}D, ${coarseExtY}D, $coarsePpd, ${lvlOffset}L"
+  override def nullSafeEval(t: Any, a: Any, b: Any, c: Any, d: Any): Any =
+    GeoKernels.refCellDedup(t.asInstanceOf[Long], a.asInstanceOf[Double],
+      b.asInstanceOf[Double], c.asInstanceOf[Double], d.asInstanceOf[Double],
+      xMin, yMin, fineExtX, fineExtY, globalPpd,
+      coarseExtX, coarseExtY, coarsePpd, lvlOffset)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, a, b, c, d) => s"$call($t, $a, $b, $c, $d, $consts)")
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MergedRefDedup =
+    copy(tile = newChildren(0), axmin = newChildren(1), aymin = newChildren(2),
+      bxmin = newChildren(3), bymin = newChildren(4))
+}
+
+/** Fine-grid cover count of an MBR as one codegen call — scalar twin of the
+  * 4-clampIdx Column chain; same JIT-ceiling motivation as MergedRefDedup. */
+case class FineCoverCount(xmin: Expression, ymin: Expression,
+                          xmax: Expression, ymax: Expression,
+                          xMin: Double, yMin: Double,
+                          fineExtX: Double, fineExtY: Double, globalPpd: Int)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
+  override def first: Expression = xmin
+  override def second: Expression = ymin
+  override def third: Expression = xmax
+  override def fourth: Expression = ymax
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fine_cover_cnt"
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoKernels.fineCoverCnt(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double],
+      xMin, yMin, fineExtX, fineExtY, globalPpd)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.GeoKernels.fineCoverCnt($a, $b, $c, $d, " +
+        s"${xMin}D, ${yMin}D, ${fineExtX}D, ${fineExtY}D, $globalPpd)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): FineCoverCount =
+    copy(xmin = a, ymin = b, xmax = c, ymax = d)
+}
+
 /** Hex cell → boundary polygon WKT (raster→vector materialization, codegen). */
 case class HexCellWkt(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -542,6 +653,19 @@ object GeoExprs {
 
   def aprilTopoRel(ra: Column, rf: Column, sa: Column, sf: Column, mbrCase: Column): Column =
     GraftColumnBridge.column(AprilTopoRel(e(ra), e(rf), e(sa), e(sf), e(mbrCase)))
+
+  def mergedRefDedup(tile: Column, axmin: Column, aymin: Column,
+                     bxmin: Column, bymin: Column,
+                     grid: GridConfig, lvlOffset: Long): Column =
+    GraftColumnBridge.column(MergedRefDedup(e(tile), e(axmin), e(aymin),
+      e(bxmin), e(bymin), grid.xMin, grid.yMin,
+      grid.fineExtX, grid.fineExtY, grid.globalPpd,
+      grid.coarseExtX, grid.coarseExtY, grid.coarsePpd, lvlOffset))
+
+  def fineCoverCount(xmin: Column, ymin: Column, xmax: Column, ymax: Column,
+                     grid: GridConfig): Column =
+    GraftColumnBridge.column(FineCoverCount(e(xmin), e(ymin), e(xmax), e(ymax),
+      grid.xMin, grid.yMin, grid.fineExtX, grid.fineExtY, grid.globalPpd))
 
   def hilbertCell(x: Column, y: Column, xMin: Double, yMin: Double,
                   xExtent: Double, yExtent: Double, order: Int): Column = {
